@@ -1,0 +1,170 @@
+"""Camera projection models (camodocal-equivalent surface, batched JAX).
+
+The reference's ``camera_models`` package (``include/camodocal/camera_models/
+Camera.h:78-82``) exposes two primitives per model: ``liftProjective`` (pixel ->
+normalized ray) and ``spaceToPlane`` (3-D point -> pixel). We reproduce that
+surface for the model families Ground-Fusion ships (Pinhole w/ radial-tangential
+distortion, PinholeFull, Mei/Cata, Equidistant/fisheye, Scaramuzza) as pure
+functions over parameter pytrees so the front-end can ``vmap`` them over feature
+batches on the VPU.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PinholeParams(NamedTuple):
+    """fx, fy, cx, cy + radial-tangential distortion (k1, k2, p1, p2)."""
+
+    fx: jax.Array
+    fy: jax.Array
+    cx: jax.Array
+    cy: jax.Array
+    k1: jax.Array
+    k2: jax.Array
+    p1: jax.Array
+    p2: jax.Array
+
+    @staticmethod
+    def make(fx, fy, cx, cy, k1=0.0, k2=0.0, p1=0.0, p2=0.0, dtype=jnp.float32):
+        return PinholeParams(*[jnp.asarray(v, dtype=dtype) for v in (fx, fy, cx, cy, k1, k2, p1, p2)])
+
+
+def _radtan_distort(cam: PinholeParams, xy: jax.Array) -> jax.Array:
+    """Apply radial-tangential distortion delta to normalized coords
+    (PinholeCamera::distortion, camera_models/src/PinholeCamera.cc)."""
+    x, y = xy[..., 0], xy[..., 1]
+    x2, y2, xy2 = x * x, y * y, x * y
+    r2 = x2 + y2
+    rad = cam.k1 * r2 + cam.k2 * r2 * r2
+    dx = x * rad + 2.0 * cam.p1 * xy2 + cam.p2 * (r2 + 2.0 * x2)
+    dy = y * rad + 2.0 * cam.p2 * xy2 + cam.p1 * (r2 + 2.0 * y2)
+    return jnp.stack([dx, dy], axis=-1)
+
+
+def pinhole_space_to_plane(cam: PinholeParams, pts: jax.Array) -> jax.Array:
+    """3-D point in camera frame -> pixel (spaceToPlane)."""
+    xy = pts[..., 0:2] / pts[..., 2:3]
+    xy_d = xy + _radtan_distort(cam, xy)
+    u = cam.fx * xy_d[..., 0] + cam.cx
+    v = cam.fy * xy_d[..., 1] + cam.cy
+    return jnp.stack([u, v], axis=-1)
+
+
+def pinhole_lift_projective(cam: PinholeParams, uv: jax.Array, iters: int = 8) -> jax.Array:
+    """Pixel -> normalized ray [x, y, 1] by fixed-point undistortion
+    (PinholeCamera::liftProjective recursive-distortion path)."""
+    mx_d = (uv[..., 0] - cam.cx) / cam.fx
+    my_d = (uv[..., 1] - cam.cy) / cam.fy
+    d = jnp.stack([mx_d, my_d], axis=-1)
+
+    def body(_, u):
+        return d - _radtan_distort(cam, u)
+
+    u = jax.lax.fori_loop(0, iters, body, d)
+    ones = jnp.ones(u.shape[:-1] + (1,), dtype=u.dtype)
+    return jnp.concatenate([u, ones], axis=-1)
+
+
+class EquidistantParams(NamedTuple):
+    """Kannala-Brandt / equidistant fisheye: fx(mu), fy(mv), cx(u0), cy(v0), k2..k5."""
+
+    fx: jax.Array
+    fy: jax.Array
+    cx: jax.Array
+    cy: jax.Array
+    k2: jax.Array
+    k3: jax.Array
+    k4: jax.Array
+    k5: jax.Array
+
+    @staticmethod
+    def make(fx, fy, cx, cy, k2=0.0, k3=0.0, k4=0.0, k5=0.0, dtype=jnp.float32):
+        return EquidistantParams(*[jnp.asarray(v, dtype=dtype) for v in (fx, fy, cx, cy, k2, k3, k4, k5)])
+
+
+def _equi_theta_poly(cam: EquidistantParams, theta: jax.Array) -> jax.Array:
+    t2 = theta * theta
+    return theta * (1.0 + t2 * (cam.k2 + t2 * (cam.k3 + t2 * (cam.k4 + t2 * cam.k5))))
+
+
+def equidistant_space_to_plane(cam: EquidistantParams, pts: jax.Array) -> jax.Array:
+    """(EquidistantCamera::spaceToPlane, camera_models/src/EquidistantCamera.cc)."""
+    r = jnp.linalg.norm(pts[..., 0:2], axis=-1)
+    theta = jnp.arctan2(r, pts[..., 2])
+    d = _equi_theta_poly(cam, theta)
+    scale = d / jnp.maximum(r, 1e-12)
+    u = cam.fx * scale * pts[..., 0] + cam.cx
+    v = cam.fy * scale * pts[..., 1] + cam.cy
+    return jnp.stack([u, v], axis=-1)
+
+
+def equidistant_lift_projective(cam: EquidistantParams, uv: jax.Array, iters: int = 10) -> jax.Array:
+    """Invert the theta-polynomial with Newton iterations (the reference uses a
+    companion-matrix root solve; Newton from theta=d is equivalent here)."""
+    mx = (uv[..., 0] - cam.cx) / cam.fx
+    my = (uv[..., 1] - cam.cy) / cam.fy
+    d = jnp.sqrt(mx * mx + my * my)
+
+    def body(_, theta):
+        f = _equi_theta_poly(cam, theta) - d
+        t2 = theta * theta
+        fp = 1.0 + t2 * (3.0 * cam.k2 + t2 * (5.0 * cam.k3 + t2 * (7.0 * cam.k4 + t2 * 9.0 * cam.k5)))
+        return theta - f / jnp.maximum(fp, 1e-12)
+
+    theta = jax.lax.fori_loop(0, iters, body, d)
+    scale = jnp.tan(theta) / jnp.maximum(d, 1e-12)
+    ones = jnp.ones(mx.shape + (1,), dtype=mx.dtype)
+    return jnp.concatenate([jnp.stack([mx * scale, my * scale], axis=-1), ones], axis=-1)
+
+
+class MeiParams(NamedTuple):
+    """Mei (catadioptric) model: xi + radtan + projective (CataCamera.cc)."""
+
+    xi: jax.Array
+    fx: jax.Array
+    fy: jax.Array
+    cx: jax.Array
+    cy: jax.Array
+    k1: jax.Array
+    k2: jax.Array
+    p1: jax.Array
+    p2: jax.Array
+
+    @staticmethod
+    def make(xi, fx, fy, cx, cy, k1=0.0, k2=0.0, p1=0.0, p2=0.0, dtype=jnp.float32):
+        return MeiParams(*[jnp.asarray(v, dtype=dtype) for v in (xi, fx, fy, cx, cy, k1, k2, p1, p2)])
+
+
+def mei_space_to_plane(cam: MeiParams, pts: jax.Array) -> jax.Array:
+    z = pts[..., 2] + cam.xi * jnp.linalg.norm(pts, axis=-1)
+    xy = pts[..., 0:2] / z[..., None]
+    ph = PinholeParams(cam.fx, cam.fy, cam.cx, cam.cy, cam.k1, cam.k2, cam.p1, cam.p2)
+    xy_d = xy + _radtan_distort(ph, xy)
+    u = cam.fx * xy_d[..., 0] + cam.cx
+    v = cam.fy * xy_d[..., 1] + cam.cy
+    return jnp.stack([u, v], axis=-1)
+
+
+def mei_lift_projective(cam: MeiParams, uv: jax.Array, iters: int = 8) -> jax.Array:
+    ph = PinholeParams(cam.fx, cam.fy, cam.cx, cam.cy, cam.k1, cam.k2, cam.p1, cam.p2)
+    mx_d = (uv[..., 0] - cam.cx) / cam.fx
+    my_d = (uv[..., 1] - cam.cy) / cam.fy
+    d = jnp.stack([mx_d, my_d], axis=-1)
+
+    def body(_, u):
+        return d - _radtan_distort(ph, u)
+
+    m = jax.lax.fori_loop(0, iters, body, d)
+    r2 = jnp.sum(m * m, axis=-1)
+    # unproject from the unit sphere (CataCamera::liftProjective)
+    xi = cam.xi
+    disc = jnp.maximum(1.0 + (1.0 - xi * xi) * r2, 0.0)
+    zs = (xi + jnp.sqrt(disc)) / (1.0 + r2)
+    z = zs - xi
+    ones = jnp.ones(z.shape + (1,), dtype=z.dtype)
+    return jnp.concatenate([m * (zs / jnp.maximum(z, 1e-12))[..., None], ones], axis=-1)

@@ -1,0 +1,203 @@
+"""Typed configuration for the TPU-native ground-SLAM engine.
+
+Replaces the reference's ~70 mutable globals parsed out of one YAML via
+``cv::FileStorage`` (``vins_estimator/src/estimator/parameters.{h,cpp}``,
+``parameters.h:28-152``) with a frozen dataclass. Static fields (window size,
+feature capacity, sensor toggles) specialize the jitted programs; float fields
+ride along as scalars inside the state pytree where online calibration needs
+them (extrinsics, td, wheel intrinsic scales).
+
+Load from YAML with :func:`load_yaml` — the shipped per-dataset configs under
+``configs/`` mirror ``config/realsense/groundchallenge.yaml`` etc.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    model: str = "pinhole"  # pinhole | equidistant | mei
+    width: int = 640
+    height: int = 480
+    fx: float = 460.0
+    fy: float = 460.0
+    cx: float = 320.0
+    cy: float = 240.0
+    distortion: tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
+    # camera-IMU extrinsics: body_T_cam (translation xyz + quaternion wxyz)
+    t_ic: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    q_ic: tuple[float, float, float, float] = (1.0, 0.0, 0.0, 0.0)
+
+
+@dataclass(frozen=True)
+class ImuConfig:
+    acc_n: float = 0.1       # accelerometer white noise (groundchallenge.yaml:74)
+    gyr_n: float = 0.01      # gyro white noise
+    acc_w: float = 0.001     # accel bias random walk
+    gyr_w: float = 0.0001    # gyro bias random walk
+    g_norm: float = 9.805    # gravity magnitude (g_norm)
+    rate_hz: float = 200.0
+
+
+@dataclass(frozen=True)
+class WheelConfig:
+    enabled: bool = True
+    # body_T_wheel extrinsic
+    t_io: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    q_io: tuple[float, float, float, float] = (1.0, 0.0, 0.0, 0.0)
+    vel_n: float = 0.1       # wheel velocity noise (VEL_N_wheel)
+    gyr_n: float = 0.02      # wheel gyro noise (GYR_N_wheel)
+    sx: float = 1.0          # intrinsic scale x (online-calibratable)
+    sy: float = 1.0
+    sw: float = 1.0
+    estimate_extrinsic: bool = False
+    estimate_intrinsic: bool = False
+    estimate_td: bool = False
+    td: float = 0.0
+    # anomaly gate: |dP_wheel - dP_imu| threshold per frame interval
+    # (estimator.cpp:629-636)
+    anomaly_thresh: float = 0.02
+    rate_hz: float = 100.0
+
+
+@dataclass(frozen=True)
+class PlaneConfig:
+    enabled: bool = False
+    pitch_n_inv: float = 100.0
+    roll_n_inv: float = 100.0
+    zpw_n_inv: float = 100.0
+
+
+@dataclass(frozen=True)
+class GnssConfig:
+    enabled: bool = False
+    elevation_mask_deg: float = 30.0    # GNSS_ELEVATION_THRES
+    psr_std_thresh: float = 2.0         # GNSS_PSR_STD_THRES
+    dopp_std_thresh: float = 2.0
+    track_num_thresh: int = 5           # GNSS_TRACK_NUM_THRES
+    ddt_weight: float = 10.0            # GNSS_DDT_WEIGHT
+    max_sats: int = 16                  # per-frame satellite slot capacity
+    low_speed_yaw_fix: float = 0.3      # m/s; fix yaw below this (estimator.cpp:2904-2930)
+
+
+@dataclass(frozen=True)
+class TrackerConfig:
+    max_features: int = 128           # MAX_CNT=150 in reference; pad-friendly default
+    min_dist_px: float = 30.0         # MIN_DIST
+    pyramid_levels: int = 3
+    patch_half: int = 10              # LK window half-size (21x21 in reference)
+    lk_iters: int = 10
+    fb_thresh_px: float = 0.5         # reverse-flow consistency gate (feature_tracker.cpp:137-153)
+    f_threshold: float = 1.0          # RANSAC/fundamental reproj gate
+    border: int = 5
+    depth_min: float = 0.1
+    depth_max: float = 7.0
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    window_size: int = 10             # WINDOW_SIZE (parameters.h:24) -> 11 poses
+    max_landmarks: int = 128          # active landmark slots in the BA
+    max_obs_per_frame: int = 128
+    max_iters: int = 8                # NUM_ITERATIONS
+    lm_lambda0: float = 1e-4
+    lm_lambda_factor: float = 3.0
+    focal: float = 460.0              # FOCAL_LENGTH used for sqrt_info = F/1.5
+    huber_delta: float = 1.0          # Cauchy/Huber robust loss threshold (in sigma)
+    keyframe_parallax_px: float = 10.0
+    min_track_for_solve: int = 4      # feature used_num >= 4 (feature_manager semantics)
+    estimate_extrinsic: bool = False
+    estimate_td: bool = False
+    td: float = 0.0
+    max_solver_time_ms: float = 40.0  # informational; TPU solve is fixed-iteration
+    max_imu_per_interval: int = 32    # padded raw-sample capacity per frame gap
+    max_wheel_per_interval: int = 16
+    dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class InitConfig:
+    imu_excite_var_thresh: float = 0.35   # excitation test (estimator.cpp:1564-1602)
+    stationary_acc_var: float = 0.1       # checkimu gate (estimator.cpp:870)
+    stationary_parallax: float = 0.5      # checkvisual: parallax*focal < 0.5px
+    wheel_stationary_dp: float = 1e-3
+
+
+@dataclass(frozen=True)
+class LoopConfig:
+    enabled: bool = False
+    brief_bits: int = 256
+    fast_threshold: int = 20
+    max_keypoints: int = 500
+    min_loop_gap: int = 50            # frame gap (pose_graph.cpp:447)
+    bow_score_best: float = 0.05      # gates (pose_graph.cpp:476-480)
+    bow_score_min: float = 0.015
+    hamming_thresh: int = 80          # keyframe.cpp:215
+    pnp_reproj_px: float = 10.0       # keyframe.cpp:299-305
+    min_matches: int = 25
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    enabled: bool = False
+    voxel_size: float = 0.05
+    depth_stride: int = 4             # depth_dist sampling stride (pose_graph_node.cpp:598-624)
+    depth_boundary: int = 20
+    max_points_per_kf: int = 8192
+    density_gate: int = 3             # getVoxelDensityAtPoint < 3 (pose_graph.cpp:191-244)
+
+
+@dataclass(frozen=True)
+class Config:
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    imu: ImuConfig = field(default_factory=ImuConfig)
+    wheel: WheelConfig = field(default_factory=WheelConfig)
+    plane: PlaneConfig = field(default_factory=PlaneConfig)
+    gnss: GnssConfig = field(default_factory=GnssConfig)
+    tracker: TrackerConfig = field(default_factory=TrackerConfig)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+    init: InitConfig = field(default_factory=InitConfig)
+    loop: LoopConfig = field(default_factory=LoopConfig)
+    map: MapConfig = field(default_factory=MapConfig)
+    use_depth: bool = False           # RGBD depth-aided triangulation
+    use_line: bool = False
+    use_yolo: bool = False
+    stationary_detect: bool = True
+    output_path: str = "output"
+
+    @property
+    def num_frames(self) -> int:
+        return self.solver.window_size + 1
+
+
+def _update(dc, d: dict[str, Any]):
+    """Recursively rebuild a frozen dataclass with overrides from a dict."""
+    kwargs = {}
+    for f in dataclasses.fields(dc):
+        if f.name in d:
+            v = d[f.name]
+            cur = getattr(dc, f.name)
+            if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+                kwargs[f.name] = _update(cur, v)
+            elif isinstance(cur, tuple):
+                kwargs[f.name] = tuple(np.asarray(v).ravel().tolist())
+            else:
+                kwargs[f.name] = v
+    return dataclasses.replace(dc, **kwargs)
+
+
+def from_dict(d: dict[str, Any]) -> Config:
+    return _update(Config(), d)
+
+
+def load_yaml(path: str) -> Config:
+    import yaml
+
+    with open(path) as f:
+        return from_dict(yaml.safe_load(f) or {})

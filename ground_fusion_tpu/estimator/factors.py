@@ -1,0 +1,215 @@
+"""Factor library: residuals + tangent-space Jacobians, batched.
+
+Each factor is a pure residual function of the *parameter values*; Jacobians
+are taken with ``jax.jacfwd`` against a tangent perturbation at zero, which
+reproduces the reference's analytic manifold Jacobians exactly (same ⊞:
+``p + δp, q ⊗ deltaQ(δθ)``) without hand-deriving them — XLA fuses the
+forward-mode pass into the same fused loop as the residual.
+
+Reference cost functions reproduced here:
+- IMU:     ``factor/imu_factor.h`` <15,7,9,7,9> (residual via
+           ``integration_base.h:169-195``)
+- Visual:  ``factor/projectionTwoFrameOneCamFactor.cpp:44-106`` (td-aware)
+- Wheel:   ``factor/wheel_factor.h`` <6,7,7,7,1,1,1,1> (residual via
+           ``wheel_integration_base.h:180-219``)
+- Plane:   ``factor/plane_factor.h:26-56``
+
+All residuals return *whitened* values (pre-multiplied by sqrt information),
+matching how the reference feeds Ceres.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.se3 import pose_boxplus, rot, trans
+from ..geometry.so3 import (
+    quat_conj,
+    quat_exp,
+    quat_log,
+    quat_mul,
+    quat_rotate,
+    quat_rotate_inv,
+    quat_to_mat,
+)
+from ..preintegration.imu import ImuPreint, bias_corrected_delta
+from ..preintegration.wheel import WheelPreint, wheel_corrected_delta, wheel_residual_from_delta
+
+
+# ---------------------------------------------------------------------------
+# sqrt-information helpers
+# ---------------------------------------------------------------------------
+
+
+def sqrt_info_from_cov(P: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """S such that Sᵀ S = P⁻¹ (the reference uses LLT of P⁻¹,
+    imu_factor.h Evaluate). Computed as L⁻¹ from P = L Lᵀ for stability."""
+    n = P.shape[-1]
+    Preg = P + eps * jnp.eye(n, dtype=P.dtype)
+    L = jnp.linalg.cholesky(Preg)
+    return jax.scipy.linalg.solve_triangular(L, jnp.eye(n, dtype=P.dtype), lower=True)
+
+
+# ---------------------------------------------------------------------------
+# IMU factor (15-dim)
+# ---------------------------------------------------------------------------
+
+
+def imu_residual_raw(pose_i, sb_i, pose_j, sb_j, pre: ImuPreint, g):
+    """Unwhitened 15-dim residual (integration_base.h:169-195).
+
+    sb = [v(3), ba(3), bg(3)]."""
+    pi, qi = trans(pose_i), rot(pose_i)
+    pj, qj = trans(pose_j), rot(pose_j)
+    vi, bai, bgi = sb_i[0:3], sb_i[3:6], sb_i[6:9]
+    vj, baj, bgj = sb_j[0:3], sb_j[3:6], sb_j[6:9]
+    dt = pre.sum_dt
+
+    cp, cq, cv = bias_corrected_delta(pre, bai, bgi)
+    r_p = quat_rotate_inv(qi, 0.5 * g * dt * dt + pj - pi - vi * dt) - cp
+    r_q = 2.0 * quat_mul(quat_conj(cq), quat_mul(quat_conj(qi), qj))[1:4]
+    r_v = quat_rotate_inv(qi, g * dt + vj - vi) - cv
+    return jnp.concatenate([r_p, r_q, r_v, baj - bai, bgj - bgi])
+
+
+def imu_factor(pose_i, sb_i, pose_j, sb_j, pre: ImuPreint, g):
+    """Whitened residual + Jacobians wrt tangent [δpose_i(6), δsb_i(9),
+    δpose_j(6), δsb_j(9)]. Returns (r[15], J[15, 30])."""
+    S = sqrt_info_from_cov(pre.covariance)
+
+    def r_of(delta):
+        d_pi, d_si, d_pj, d_sj = delta[0:6], delta[6:15], delta[15:21], delta[21:30]
+        return S @ imu_residual_raw(
+            pose_boxplus(pose_i, d_pi), sb_i + d_si,
+            pose_boxplus(pose_j, d_pj), sb_j + d_sj, pre, g,
+        )
+
+    z = jnp.zeros(30, dtype=pose_i.dtype)
+    r = r_of(z)
+    J = jax.jacfwd(r_of)(z)
+    return r, J
+
+
+# ---------------------------------------------------------------------------
+# Visual projection factor (2-dim, td-aware, one camera two frames)
+# ---------------------------------------------------------------------------
+
+
+def proj21_residual_raw(pose_i, pose_j, ex, inv_dep, td, pts_i, pts_j, vel_i, vel_j, td_i, td_j):
+    """projectionTwoFrameOneCamFactor.cpp:59-77 — unwhitened 2-dim residual.
+
+    pts are normalized-plane observations [x, y, 1]; vel are feature image
+    velocities (z comp = 0); td the online time offset."""
+    tic, qic = trans(ex), rot(ex)
+    pts_i_td = pts_i - (td - td_i) * vel_i
+    pts_j_td = pts_j - (td - td_j) * vel_j
+    pts_cam_i = pts_i_td / inv_dep
+    pts_imu_i = quat_rotate(qic, pts_cam_i) + tic
+    pts_w = quat_rotate(rot(pose_i), pts_imu_i) + trans(pose_i)
+    pts_imu_j = quat_rotate_inv(rot(pose_j), pts_w - trans(pose_j))
+    pts_cam_j = quat_rotate_inv(qic, pts_imu_j - tic)
+    dep_j = pts_cam_j[2]
+    return pts_cam_j[0:2] / dep_j - pts_j_td[0:2]
+
+
+def proj21_factor(pose_i, pose_j, ex, inv_dep, td, obs, sqrt_info_scale):
+    """Whitened residual + Jacobian wrt [δpose_i(6), δpose_j(6), δex(6),
+    δλ(1), δtd(1)] → (r[2], J[2,20]).
+
+    obs packs [pts_i(3), pts_j(3), vel_i(3), vel_j(3), td_i, td_j].
+    sqrt_info = FOCAL/1.5 · I (estimator.cpp:193-198)."""
+    pts_i, pts_j = obs[0:3], obs[3:6]
+    vel_i, vel_j = obs[6:9], obs[9:12]
+    td_i, td_j = obs[12], obs[13]
+
+    def r_of(delta):
+        d_pi, d_pj, d_ex = delta[0:6], delta[6:12], delta[12:18]
+        d_l, d_td = delta[18], delta[19]
+        return sqrt_info_scale * proj21_residual_raw(
+            pose_boxplus(pose_i, d_pi), pose_boxplus(pose_j, d_pj),
+            pose_boxplus(ex, d_ex), inv_dep + d_l, td + d_td,
+            pts_i, pts_j, vel_i, vel_j, td_i, td_j,
+        )
+
+    z = jnp.zeros(20, dtype=pose_i.dtype)
+    r = r_of(z)
+    J = jax.jacfwd(r_of)(z)
+    return r, J
+
+
+# ---------------------------------------------------------------------------
+# Wheel odometer factor (6-dim)
+# ---------------------------------------------------------------------------
+
+
+def wheel_factor(pose_i, pose_j, ex_io, sx, sy, sw, td_w, pre: WheelPreint):
+    """Whitened residual + Jacobian wrt [δpose_i(6), δpose_j(6), δex_io(6),
+    δsx, δsy, δsw, δtd] → (r[6], J[6, 22]). (factor/wheel_factor.h)."""
+    S = sqrt_info_from_cov(pre.covariance)
+
+    def r_of(delta):
+        d_pi, d_pj, d_ex = delta[0:6], delta[6:12], delta[12:18]
+        dsx, dsy, dsw, dtd = delta[18], delta[19], delta[20], delta[21]
+        dp, dq = wheel_corrected_delta(pre, sx + dsx, sy + dsy, sw + dsw, td_w + dtd)
+        return S @ wheel_residual_from_delta(
+            pose_boxplus(pose_i, d_pi), pose_boxplus(pose_j, d_pj),
+            pose_boxplus(ex_io, d_ex), dp, dq,
+        )
+
+    z = jnp.zeros(22, dtype=pose_i.dtype)
+    r = r_of(z)
+    J = jax.jacfwd(r_of)(z)
+    return r, J
+
+
+# ---------------------------------------------------------------------------
+# Plane factor (3-dim): roll/pitch alignment + height-above-plane
+# ---------------------------------------------------------------------------
+
+
+def plane_residual_raw(pose_i, ex_io, q_pw, z_pw):
+    """plane_factor.h:46-56: r = [ (qio^T Qi^T qpw^T e3)_{x,y} ;
+    z_pw + (qpw (Pi + Qi tio))_z ]."""
+    e3 = jnp.array([0.0, 0.0, 1.0], dtype=pose_i.dtype)
+    qi = rot(pose_i)
+    tio, qio = trans(ex_io), rot(ex_io)
+    n_body = quat_rotate_inv(qio, quat_rotate_inv(qi, quat_rotate_inv(q_pw, e3)))
+    height = z_pw + quat_rotate(q_pw, trans(pose_i) + quat_rotate(qi, tio))[2]
+    return jnp.concatenate([n_body[0:2], height[None]])
+
+
+def plane_factor(pose_i, ex_io, q_pw, z_pw, sqrt_info_diag):
+    """Whitened residual + Jacobian wrt [δpose_i(6), δex_io(6), δθ_pw(3),
+    δz_pw(1)] → (r[3], J[3,16])."""
+
+    def r_of(delta):
+        d_pi, d_ex, d_qpw, d_z = delta[0:6], delta[6:12], delta[12:15], delta[15]
+        q_pw2 = quat_mul(q_pw, quat_exp(d_qpw))
+        return sqrt_info_diag * plane_residual_raw(
+            pose_boxplus(pose_i, d_pi), pose_boxplus(ex_io, d_ex), q_pw2, z_pw + d_z
+        )
+
+    z = jnp.zeros(16, dtype=pose_i.dtype)
+    r = r_of(z)
+    J = jax.jacfwd(r_of)(z)
+    return r, J
+
+
+# ---------------------------------------------------------------------------
+# Robust loss (Cauchy, as used via ceres::CauchyLoss on visual factors)
+# ---------------------------------------------------------------------------
+
+
+def cauchy_weight(sq_norm: jax.Array, delta: float) -> jax.Array:
+    """Row-reweighting sqrt(ρ'(s)) for the Cauchy loss ρ(s)=δ²log(1+s/δ²).
+
+    Equivalent to the triggs-correction-free rescale the reference applies
+    when re-evaluating dropped factors (marginalization_factor.cpp:46-77)."""
+    d2 = delta * delta
+    return jnp.sqrt(d2 / (d2 + sq_norm))
+
+
+def huber_weight(sq_norm: jax.Array, delta: float) -> jax.Array:
+    n = jnp.sqrt(jnp.maximum(sq_norm, 1e-20))
+    return jnp.sqrt(jnp.where(n <= delta, 1.0, delta / n))
