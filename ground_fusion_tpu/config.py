@@ -116,8 +116,11 @@ class SolverConfig:
     estimate_td: bool = False
     td: float = 0.0
     max_solver_time_ms: float = 40.0  # informational; TPU solve is fixed-iteration
-    max_imu_per_interval: int = 32    # padded raw-sample capacity per frame gap
-    max_wheel_per_interval: int = 16
+    # padded raw-sample capacity per frame gap; must cover a *merged* double
+    # interval (non-keyframe slides concatenate two gaps, estimator.cpp:3712),
+    # so ≥ 2 × rate/frame_rate + slack — overflow decimates pairwise
+    max_imu_per_interval: int = 48
+    max_wheel_per_interval: int = 24
     dtype: str = "float32"
 
 

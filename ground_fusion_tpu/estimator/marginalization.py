@@ -1,0 +1,172 @@
+"""Schur marginalization → square-root prior, fully on-device.
+
+The reference re-evaluates every factor touching frame 0, assembles a dense
+normal-equation system with 4 pthreads, Schur-eliminates the dropped block via
+an eigendecomposition with eigenvalue clipping, and stores a linearized
+sqrt-prior (``marginalization_factor.cpp:119-308``). Here the same pipeline is
+three matmuls and two ``eigh`` calls on static shapes:
+
+1. the dropped-frame factor subset linearizes with the exact same vmapped
+   kernels as the solver (:mod:`.assembly`) — no separate evaluation path;
+2. anchored landmark depths are scalar blocks touching only camera columns,
+   so their elimination is one batched rank-1 down-date (an einsum), the
+   TPU-native analog of ``ThreadsConstructA``'s partial-H accumulation;
+3. the 15-dim frame block is eliminated with a clipped-``eigh`` pseudo-inverse
+   and the kept system re-factorized into ``J0 = S^{1/2} Vᵀ``,
+   ``r0 = S^{-1/2} Vᵀ b`` (``marginalization_factor.cpp:278-302``).
+
+The address-shift across the slide (``estimator.cpp:3500-3528``) becomes a
+static column permutation into the post-slide layout.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .assembly import (
+    MargPrior,
+    SolveInputs,
+    linearize_imu,
+    linearize_plane,
+    linearize_prior,
+    linearize_visual,
+    linearize_wheel,
+)
+from .layout import PER_FRAME, StateLayout
+from .window import Tracks, WindowState, boxminus, slide_new_state, slide_old_state
+
+
+def _clipped_pinv(A: jax.Array, eps: float = 1e-8):
+    """Eigendecomposition pseudo-inverse with small-eigenvalue clipping
+    (marginalization_factor.cpp:278-285 ``saes.eigenvalues().array() > eps``)."""
+    A = 0.5 * (A + A.T)
+    s, V = jnp.linalg.eigh(A)
+    s_inv = jnp.where(s > eps, 1.0 / jnp.where(s > eps, s, 1.0), 0.0)
+    return (V * s_inv[None, :]) @ V.T
+
+
+def _sqrt_factorize(H: jax.Array, b: jax.Array, eps: float = 1e-8):
+    """H → (J0, r0) with J0ᵀJ0 = H, J0ᵀ r0 = b
+    (marginalization_factor.cpp:294-302)."""
+    H = 0.5 * (H + H.T)
+    s, V = jnp.linalg.eigh(H)
+    ok = s > eps
+    sqrt_s = jnp.sqrt(jnp.where(ok, s, 1.0))
+    J0 = jnp.where(ok[:, None], sqrt_s[:, None] * V.T, 0.0)
+    r0 = jnp.where(ok, (V.T @ b) / sqrt_s, 0.0)
+    return J0, r0
+
+
+def _schur_drop(H: jax.Array, b: jax.Array, drop: np.ndarray, keep: np.ndarray,
+                eps: float = 1e-8):
+    """Eliminate the static index set ``drop`` from (H, b)."""
+    Amm_inv = _clipped_pinv(H[np.ix_(drop, drop)], eps)
+    Akm = H[np.ix_(keep, drop)]
+    Hk = H[np.ix_(keep, keep)] - Akm @ Amm_inv @ Akm.T
+    bk = b[keep] - Akm @ (Amm_inv @ b[drop])
+    return Hk, bk
+
+
+def marginalize_old(
+    state: WindowState,
+    tracks: Tracks,
+    inp: SolveInputs,
+    layout: StateLayout,
+    sqrt_info_scale,
+    cauchy_delta,
+    plane_sqrt_info,
+) -> MargPrior:
+    """Drop frame 0 (pose+speed-bias) and the depths of landmarks anchored
+    there; return the prior already permuted into the POST-slide layout with
+    the post-slide linearization point (``estimator.cpp:3334-3535``)."""
+    f = state.poses.shape[0]
+    nx = layout.nx
+    dtype = state.poses.dtype
+
+    only1 = (jnp.arange(f) == 1)
+    only0 = (jnp.arange(f) == 0)
+    Ji, ri = linearize_imu(state, inp.imu_pre, inp.imu_valid & only1, inp.g, layout)
+    Jw, rw = linearize_wheel(state, inp.wheel_pre, inp.wheel_valid & only1, layout)
+    anchored0 = tracks.active & (tracks.start_frame == 0)
+    Jv, rv = linearize_visual(
+        state, tracks, inp.td_obs, layout, sqrt_info_scale, cauchy_delta,
+        lm_filter=anchored0,
+    )
+    Jp, rp = linearize_plane(state, inp.plane_valid & only0, plane_sqrt_info, layout)
+    Jm, rm = linearize_prior(state, inp.prior, layout)
+    J = jnp.concatenate([Ji, Jw, Jv, Jp, Jm], axis=0) * inp.free_mask[None, :]
+    r = jnp.concatenate([ri, rw, rv, rp, rm], axis=0)
+
+    Jc, Jl = J[:, :nx], J[:, nx:]
+    Hcc = Jc.T @ Jc
+    bc = Jc.T @ r
+    Hll = jnp.sum(Jl * Jl, axis=0)                      # depth blocks are scalars
+    Hcl = Jc.T @ Jl                                     # [NX, ML]
+    bl = Jl.T @ r
+    w = jnp.where(Hll > 1e-8, 1.0 / jnp.where(Hll > 1e-8, Hll, 1.0), 0.0)
+    Hred = Hcc - (Hcl * w[None, :]) @ Hcl.T             # batched rank-1 down-dates
+    bred = bc - Hcl @ (w * bl)
+
+    drop = np.arange(PER_FRAME)
+    keep = np.arange(PER_FRAME, nx)
+    Hk, bk = _schur_drop(Hred, bred, drop, keep)
+    J_keep, r_keep = _sqrt_factorize(Hk, bk)            # [nk, nk], nk = nx - 15
+
+    # --- address shift into the post-slide layout ---
+    nk = nx - PER_FRAME
+    frames_keep = PER_FRAME * (f - 1)                   # old frames 1..F-1
+    J0 = jnp.zeros((nx, nx), dtype)
+    J0 = J0.at[:nk, 0:frames_keep].set(J_keep[:, 0:frames_keep])
+    J0 = J0.at[:nk, PER_FRAME * f : nx].set(J_keep[:, frames_keep:])
+    r0 = jnp.zeros((nx,), dtype).at[:nk].set(r_keep)
+    return MargPrior(J0=J0, r0=r0, lin=slide_old_state(state), valid=jnp.ones((), bool))
+
+
+def marginalize_second_new(
+    state: WindowState, prior: MargPrior, layout: StateLayout
+) -> MargPrior:
+    """Drop only ``pose[F-2]`` from the existing prior (``estimator.cpp:
+    3536-3631`` — drop set is exactly ``para_Pose[WINDOW_SIZE-1]``; the
+    matching assert guarantees its speed-bias is never in the prior). When the
+    prior has no columns there the Schur step is a no-op, reproducing the
+    reference's skip branch without a branch. Returns the prior in the
+    post-slide layout."""
+    f = state.poses.shape[0]
+    nx = layout.nx
+    dtype = state.poses.dtype
+
+    dx = boxminus(state, prior.lin, layout)
+    r_cur = prior.r0 + prior.J0 @ dx
+    H = prior.J0.T @ prior.J0
+    b = prior.J0.T @ r_cur
+
+    p = PER_FRAME * (f - 2)
+    drop = np.arange(p, p + 6)
+    keep = np.concatenate([np.arange(0, p), np.arange(p + 6, nx)])
+    Hk, bk = _schur_drop(H, b, drop, keep)
+    J_keep, r_keep = _sqrt_factorize(Hk, bk)
+
+    # keep-vector positions: [0:p] frames 0..F-3 + pose(F-2) excluded,
+    # [p:p+9] sb(F-2) (guaranteed zero cols), then frame F-1 + calib.
+    # Post-slide: frame F-1 cols move onto slot F-2; everything else identity.
+    nk = nx - 6
+    J0 = jnp.zeros((nx, nx), dtype)
+    J0 = J0.at[:nk, 0:p].set(J_keep[:, 0:p])
+    J0 = J0.at[:nk, p + 6 : nx].set(J_keep[:, p:])
+    # move old frame F-1 columns (pose+sb) into slot F-2
+    old_f1 = PER_FRAME * (f - 1)
+    colsrc = J0[:, old_f1 : old_f1 + PER_FRAME]
+    J0 = J0.at[:, p : p + PER_FRAME].add(colsrc)
+    J0 = J0.at[:, old_f1 : old_f1 + PER_FRAME].set(0.0)
+    r0 = jnp.zeros((nx,), dtype).at[:nk].set(r_keep)
+    # the reference re-linearizes the kept prior at the *current* values
+    # (preMarginalize copies parameter_block_data from live state)
+    lin_new = slide_new_state(state)
+    pr = MargPrior(J0=J0, r0=r0, lin=lin_new, valid=prior.valid)
+    # without a valid prior there is nothing to marginalize — pass through
+    return jax.tree_util.tree_map(
+        lambda new, old: jnp.where(prior.valid, new, old), pr,
+        MargPrior(prior.J0, prior.r0, lin_new, prior.valid),
+    )

@@ -1,0 +1,179 @@
+"""The fused per-keyframe window step — one jitted device program.
+
+This is the TPU-native ``processImage`` → ``optimization`` → marginalize →
+``slideWindow`` path (``estimator.cpp:843-1163, 2890-3795``) as a single pure
+function: preintegrate all intervals, triangulate, LM-solve, re-anchor the
+gauge, marginalize, slide. Both marginalization branches produce identical
+pytree shapes, so the keyframe decision is a ``lax.cond`` and the whole step
+compiles once.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..preintegration.imu import noise_cov
+from ..preintegration.wheel import wheel_noise_cov
+from .assembly import MargPrior, SolveInputs
+from .buffers import (
+    ImuWindowBuffer,
+    WheelWindowBuffer,
+    preintegrate_imu_window,
+    preintegrate_wheel_window,
+    slide_new_imu_buffer,
+    slide_new_wheel_buffer,
+    slide_old_imu_buffer,
+    slide_old_wheel_buffer,
+)
+from .layout import PER_FRAME, StateLayout
+from .marginalization import marginalize_old, marginalize_second_new
+from .solver import SolverParams, reanchor_yaw, solve_window
+from .triangulation import triangulate_all
+from .window import (
+    Tracks,
+    WindowState,
+    slide_new_state,
+    slide_new_tracks,
+    slide_old_state,
+    slide_old_tracks,
+)
+
+
+class StepFlags(NamedTuple):
+    """Per-frame dynamic gates (the reference's anomaly/stationary booleans,
+    ``estimator.cpp:629-654, 890-896``)."""
+
+    marg_old: jax.Array        # bool — keyframe ⇒ MARGIN_OLD else MARGIN_SECOND_NEW
+    stationary: jax.Array      # bool — freeze poses/speeds (estimator.cpp:3233-3263)
+    wheel_valid: jax.Array     # [F] per-interval wheel gate (anomaly ⇒ False)
+    imu_valid: jax.Array       # [F] per-interval IMU availability
+    td_obs: jax.Array          # [F] td at capture per frame
+
+
+class EstimatorCore(NamedTuple):
+    """Everything that persists across window steps."""
+
+    state: WindowState
+    tracks: Tracks
+    imu_buf: ImuWindowBuffer
+    wheel_buf: WheelWindowBuffer
+    prior: MargPrior
+
+
+def base_free_mask(cfg: Config, layout: StateLayout) -> np.ndarray:
+    """Static optimizability mask from config toggles (the reference's
+    ``SetParameterBlockConstant`` calls for extrinsics/td/intrinsics,
+    ``estimator.cpp:2953-3100``)."""
+    m = np.ones(layout.total, np.float64)
+    if not cfg.solver.estimate_extrinsic:
+        m[layout.ex_cam : layout.ex_cam + 6] = 0.0
+    if not cfg.solver.estimate_td:
+        m[layout.td] = 0.0
+    if not cfg.wheel.estimate_extrinsic:
+        m[layout.ex_wheel : layout.ex_wheel + 6] = 0.0
+    if not cfg.wheel.estimate_intrinsic:
+        m[layout.s_wheel : layout.s_wheel + 3] = 0.0
+    if not cfg.wheel.estimate_td:
+        m[layout.td_wheel] = 0.0
+    if not cfg.plane.enabled:
+        m[layout.plane : layout.plane + 4] = 0.0
+    return m
+
+
+def make_window_step(cfg: Config):
+    """Build the jitted window step specialized on the static config."""
+    layout = StateLayout(cfg.num_frames, cfg.solver.max_landmarks)
+    f = cfg.num_frames
+    base_mask = base_free_mask(cfg, layout)
+
+    def step(core: EstimatorCore, flags: StepFlags):
+        dtype = core.state.poses.dtype
+        n18 = noise_cov(cfg.imu.acc_n, cfg.imu.gyr_n, cfg.imu.acc_w, cfg.imu.gyr_w, dtype)
+        n12 = wheel_noise_cov(cfg.wheel.vel_n, cfg.wheel.gyr_n, dtype)
+        g = jnp.array([0.0, 0.0, cfg.imu.g_norm], dtype)
+
+        state, tracks = core.state, core.tracks
+        # stationary: zero velocities, freeze all frame blocks
+        sbs = state.sbs.at[:, 0:3].multiply(
+            jnp.where(flags.stationary, 0.0, 1.0).astype(dtype)
+        )
+        state = state._replace(sbs=sbs)
+        frame_free = jnp.where(flags.stationary, 0.0, 1.0).astype(dtype)
+        free_mask = jnp.asarray(base_mask, dtype)
+        free_mask = free_mask.at[: PER_FRAME * f].multiply(frame_free)
+
+        imu_pre = preintegrate_imu_window(core.imu_buf, state.sbs, n18)
+        wheel_pre = preintegrate_wheel_window(
+            core.wheel_buf, state.s_wheel, state.td_wheel, n12
+        )
+        wheel_valid = flags.wheel_valid if cfg.wheel.enabled else jnp.zeros(f, bool)
+        plane_valid = (
+            jnp.ones(f, bool) if cfg.plane.enabled else jnp.zeros(f, bool)
+        )
+
+        tracks = triangulate_all(state, tracks, depth_max=cfg.tracker.depth_max)
+
+        inp = SolveInputs(
+            imu_pre=imu_pre,
+            imu_valid=flags.imu_valid,
+            wheel_pre=wheel_pre,
+            wheel_valid=wheel_valid,
+            plane_valid=plane_valid,
+            td_obs=flags.td_obs,
+            prior=core.prior,
+            g=g,
+            free_mask=free_mask,
+        )
+        params = SolverParams(
+            sqrt_info_scale=jnp.asarray(cfg.solver.focal / 1.5, dtype),
+            cauchy_delta=jnp.asarray(cfg.solver.huber_delta, dtype),
+            plane_sqrt_info=jnp.asarray(
+                [cfg.plane.roll_n_inv, cfg.plane.pitch_n_inv, cfg.plane.zpw_n_inv], dtype
+            ),
+            lm_lambda0=jnp.asarray(cfg.solver.lm_lambda0, dtype),
+            lm_up=jnp.asarray(cfg.solver.lm_lambda_factor, dtype),
+            lm_down=jnp.asarray(1.0 / cfg.solver.lm_lambda_factor, dtype),
+        )
+
+        state_before = state
+        state, tracks, cost = solve_window(
+            state, tracks, inp, layout, params, num_iters=cfg.solver.max_iters
+        )
+        state = reanchor_yaw(state_before, state)
+
+        def do_old(_):
+            prior = marginalize_old(
+                state, tracks, inp, layout, params.sqrt_info_scale,
+                params.cauchy_delta, params.plane_sqrt_info,
+            )
+            return EstimatorCore(
+                state=slide_old_state(state),
+                tracks=slide_old_tracks(state, tracks),
+                imu_buf=slide_old_imu_buffer(core.imu_buf),
+                wheel_buf=slide_old_wheel_buffer(core.wheel_buf),
+                prior=prior,
+            )
+
+        def do_new(_):
+            prior = marginalize_second_new(state, core.prior, layout)
+            return EstimatorCore(
+                state=slide_new_state(state),
+                tracks=slide_new_tracks(tracks),
+                imu_buf=slide_new_imu_buffer(core.imu_buf),
+                wheel_buf=slide_new_wheel_buffer(core.wheel_buf),
+                prior=prior,
+            )
+
+        core_new = jax.lax.cond(flags.marg_old, do_old, do_new, None)
+        # solved (pre-slide) newest pose is the odometry output of this step
+        return core_new, {"pose": state.poses[f - 1], "sb": state.sbs[f - 1], "cost": cost,
+                          "poses": state.poses}
+
+    # NOTE: buffer donation is deliberately off — freshly-initialized cores
+    # legitimately alias zero-filled leaves (f(donate(a), donate(a)) trap).
+    return jax.jit(step), layout
