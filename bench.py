@@ -1,0 +1,76 @@
+"""Benchmark: fused window-step throughput on the available accelerator.
+
+Prints one JSON line ``{"metric", "value", "unit", "vs_baseline"}``.
+
+Baseline: the reference solves every 2nd camera frame at 30 Hz topic rate
+(~15 BA solves/s on CPU, ≤8 Ceres iterations each; ``estimator.cpp:224-232,
+3303-3318``; BASELINE.md). One fused window step here = one full keyframe
+solve (preintegrate + triangulate + 8 LM iterations + marginalize + slide),
+so ``vs_baseline = steps_per_s / 15``.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ground_fusion_tpu.config import Config
+    from ground_fusion_tpu.estimator.step import make_window_step
+    from __graft_entry__ import _example_core_and_flags
+
+    cfg = Config()
+    step, _ = make_window_step(cfg)
+    core, flags = _example_core_and_flags(cfg, jnp.float32)
+
+    # realistic occupancy: fill tracks/buffers like a live window
+    ml = cfg.solver.max_landmarks
+    f = cfg.num_frames
+    tr = core.tracks._replace(
+        active=jnp.ones(ml, bool),
+        solve_ok=jnp.ones(ml, bool),
+        obs=core.tracks.obs.at[..., 0].set(0.1).at[..., 1].set(-0.05).at[..., 4].set(2.0),
+        obs_valid=jnp.ones((ml, f), bool),
+        inv_depth=jnp.full((ml,), 0.5, jnp.float32),
+    )
+    ib = core.imu_buf._replace(
+        dts=jnp.full_like(core.imu_buf.dts, 0.005),
+        acc=core.imu_buf.acc.at[..., 2].set(9.805),
+        valid=jnp.ones_like(core.imu_buf.valid),
+    )
+    wb = core.wheel_buf._replace(
+        dts=jnp.full_like(core.wheel_buf.dts, 0.01),
+        vel=core.wheel_buf.vel.at[..., 0].set(0.5),
+        valid=jnp.ones_like(core.wheel_buf.valid),
+    )
+    core = core._replace(tracks=tr, imu_buf=ib, wheel_buf=wb)
+
+    # warmup / compile
+    out = step(core, flags)
+    jax.block_until_ready(out)
+
+    iters = 50
+    t0 = time.perf_counter()
+    c = core
+    for _ in range(iters):
+        c, o = step(c, flags)
+    jax.block_until_ready((c, o))
+    dt = time.perf_counter() - t0
+    steps_per_s = iters / dt
+
+    print(json.dumps({
+        "metric": "window_steps_per_s",
+        "value": round(steps_per_s, 2),
+        "unit": "solved keyframes/s (full window step: preint+triangulate+8LM+marg+slide)",
+        "vs_baseline": round(steps_per_s / 15.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Host-side feature tracker: id management around the device KLT kernels.
+
+The counterpart of ``FeatureTracker::trackImage``
+(``feature_tracker.cpp:103-372``) — owns feature ids, per-feature track
+length, prediction seeding, refill and undistortion, and returns the
+``{id: [x, y, z, u, v, vx, vy, depth]}``-style map the estimator ingests
+(``feature_tracker.h:47-48``). All pixel math runs in the jitted kernels of
+:mod:`.klt`; this class only shuffles ids.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..cameras.models import PinholeParams, pinhole_lift_projective
+from ..pipeline import FrameFeature
+from .klt import (
+    build_pyramid,
+    refill_corners,
+    sample_depth,
+    track_bidirectional,
+)
+
+
+class FeatureTracker:
+    def __init__(self, cam: PinholeParams, max_cnt: int = 128, min_dist: int = 30,
+                 levels: int = 3, half: int = 10, iters: int = 10,
+                 fb_thresh: float = 0.5, border: int = 5):
+        self.cam = cam
+        self.max_cnt = max_cnt
+        self.min_dist = min_dist
+        self.levels = levels
+        self.half = half
+        self.iters = iters
+        self.fb_thresh = fb_thresh
+        self.border = border
+        self.prev_pyr = None
+        self.prev_pts = np.zeros((0, 2), np.float32)
+        self.prev_norm = np.zeros((0, 2), np.float32)
+        self.ids = np.zeros((0,), np.int64)
+        self.track_len = np.zeros((0,), np.int64)
+        self.next_id = 0
+        self.prev_t: Optional[float] = None
+
+    def _undistort(self, pts: np.ndarray) -> np.ndarray:
+        if len(pts) == 0:
+            return np.zeros((0, 2), np.float32)
+        rays = pinhole_lift_projective(self.cam, jnp.asarray(pts))
+        return np.asarray(rays[:, 0:2])
+
+    def track(self, t: float, img: np.ndarray, depth: Optional[np.ndarray] = None
+              ) -> dict[int, FrameFeature]:
+        """Track into the new frame, refill, and emit the feature map."""
+        img_j = jnp.asarray(img, jnp.float32)
+        cur_pyr = tuple(build_pyramid(img_j, self.levels))
+        dt = (t - self.prev_t) if self.prev_t is not None else 0.0
+
+        if self.prev_pyr is not None and len(self.prev_pts) > 0:
+            n = len(self.prev_pts)
+            pad = self.max_cnt - n
+            pp = np.pad(self.prev_pts, ((0, pad), (0, 0)))
+            valid = np.zeros(self.max_cnt, bool)
+            valid[:n] = True
+            fwd, ok = track_bidirectional(
+                self.prev_pyr, cur_pyr, jnp.asarray(pp), jnp.asarray(pp),
+                jnp.asarray(valid), self.levels, self.half, self.iters,
+                self.fb_thresh,
+            )
+            fwd = np.asarray(fwd)[:n]
+            ok = np.asarray(ok)[:n]
+            # keep survivors, longest tracks first (feature_tracker.cpp:60-83)
+            self.prev_pts = fwd[ok]
+            self.ids = self.ids[ok]
+            prev_norm_old = self.prev_norm[ok]
+            self.track_len = self.track_len[ok] + 1
+            order = np.argsort(-self.track_len, kind="stable")
+            self.prev_pts = self.prev_pts[order]
+            self.ids = self.ids[order]
+            self.track_len = self.track_len[order]
+            prev_norm_old = prev_norm_old[order]
+        else:
+            prev_norm_old = np.zeros((0, 2), np.float32)
+
+        # refill up to max_cnt
+        need = self.max_cnt - len(self.prev_pts)
+        if need > 0:
+            n = len(self.prev_pts)
+            pad_pts = np.zeros((self.max_cnt, 2), np.float32)
+            pad_pts[:n] = self.prev_pts
+            pad_valid = np.zeros(self.max_cnt, bool)
+            pad_valid[:n] = True
+            new_pts, new_ok = refill_corners(
+                img_j, jnp.asarray(pad_pts), jnp.asarray(pad_valid),
+                self.max_cnt, self.min_dist, self.border,
+            )
+            new_pts = np.asarray(new_pts)[np.asarray(new_ok)][:need]
+            k = len(new_pts)
+            self.prev_pts = np.concatenate([self.prev_pts, new_pts])
+            self.ids = np.concatenate(
+                [self.ids, np.arange(self.next_id, self.next_id + k)]
+            )
+            self.track_len = np.concatenate([self.track_len, np.ones(k, np.int64)])
+            prev_norm_old = np.concatenate(
+                [prev_norm_old, np.full((k, 2), np.nan, np.float32)]
+            )
+            self.next_id += k
+
+        norm = self._undistort(self.prev_pts)
+        vel = np.zeros_like(norm)
+        if dt > 0:
+            with np.errstate(invalid="ignore"):
+                v = (norm - prev_norm_old) / dt
+            vel = np.where(np.isnan(v), 0.0, v)
+
+        depths = np.zeros(len(self.prev_pts), np.float32)
+        if depth is not None and len(self.prev_pts) > 0:
+            depths = np.asarray(
+                sample_depth(jnp.asarray(depth, jnp.float32), jnp.asarray(self.prev_pts))
+            )
+
+        feats = {
+            int(fid): FrameFeature(
+                x=float(norm[i, 0]), y=float(norm[i, 1]),
+                vx=float(vel[i, 0]), vy=float(vel[i, 1]),
+                depth=float(depths[i]),
+            )
+            for i, fid in enumerate(self.ids)
+        }
+        self.prev_pyr = cur_pyr
+        self.prev_norm = norm
+        self.prev_t = t
+        return feats

@@ -1,0 +1,389 @@
+"""Host-side estimator pipeline: sensor ingest, window fill, initialization
+dispatch, keyframe decision, and the per-frame jitted window step.
+
+This is the TPU-native replacement for the reference's driver loop + estimator
+measurement pump (``rosNodeTest.cpp:290-565`` sync_process,
+``estimator.cpp:526-711`` processMeasurements, ``:843-1163`` processImage):
+the host owns only queues, slot allocation and mode switches; all math runs in
+the single jitted :func:`~.estimator.step.make_window_step` program.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config
+from .estimator.assembly import empty_prior
+from .estimator.buffers import (
+    empty_imu_buffer,
+    empty_wheel_buffer,
+    preintegrate_imu_window,
+    preintegrate_wheel_window,
+)
+from .estimator.initialization import (
+    align_window_to_gravity,
+    linear_alignment_wheel,
+    solve_gyroscope_bias,
+    stationary_bias_init,
+)
+from .estimator.step import EstimatorCore, StepFlags, make_window_step
+from .estimator.window import empty_state, empty_tracks
+from .geometry.se3 import pose as make_pose, pose_compose, pose_inverse
+from .geometry.so3 import mat_to_quat, quat_mul, quat_normalize, quat_rotate, quat_to_mat
+from .preintegration.imu import noise_cov
+from .preintegration.wheel import wheel_noise_cov
+
+
+@dataclass
+class FrameFeature:
+    """One feature observation handed in by the front-end (the per-id entry of
+    ``trackImage``'s output map, feature_tracker.h:47-48)."""
+
+    x: float
+    y: float
+    vx: float = 0.0
+    vy: float = 0.0
+    depth: float = 0.0
+
+
+class Estimator:
+    """Sliding-window RGBD/VIO/wheel estimator (host orchestration)."""
+
+    INITIAL = 0
+    NON_LINEAR = 1
+
+    def __init__(self, cfg: Config, dtype=jnp.float32):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.step_fn, self.layout = make_window_step(cfg)
+        f = cfg.num_frames
+        ml = cfg.solver.max_landmarks
+        self.f = f
+        self.core = EstimatorCore(
+            state=empty_state(f, dtype),
+            tracks=empty_tracks(ml, f, dtype),
+            imu_buf=empty_imu_buffer(f, cfg.solver.max_imu_per_interval, dtype),
+            wheel_buf=empty_wheel_buffer(f, cfg.solver.max_wheel_per_interval, dtype),
+            prior=empty_prior(self.layout, f, dtype),
+        )
+        self.solver_flag = self.INITIAL
+        self.frame_count = 0              # frames currently occupied (fill phase)
+        self.ts: list[float] = []
+        self.slot_of: dict[int, int] = {}
+        self.free_slots = list(range(ml))
+        # raw queues since the previous frame
+        self.imu_q: list[tuple[float, np.ndarray, np.ndarray]] = []
+        self.wheel_q: list[tuple[float, np.ndarray, np.ndarray]] = []
+        self.last_imu: Optional[tuple] = None
+        self.last_wheel: Optional[tuple] = None
+        self.all_imu_window: list[list] = []      # per-interval copies for init stats
+        self.trajectory: list[tuple[float, np.ndarray]] = []
+        self.keyframe_flags: list[bool] = []
+        # running parallax bookkeeping
+        self._prev_feats: dict[int, FrameFeature] = {}
+
+    # ------------------------------------------------------------------ ingest
+
+    def input_imu(self, t: float, acc, gyr) -> None:
+        self.imu_q.append((t, np.asarray(acc, np.float64), np.asarray(gyr, np.float64)))
+
+    def input_wheel(self, t: float, vel, gyr) -> None:
+        self.wheel_q.append((t, np.asarray(vel, np.float64), np.asarray(gyr, np.float64)))
+
+    # ------------------------------------------------------- interval building
+
+    def _drain_interval(self, t1: float):
+        """Pop queued samples up to t1 into padded interval arrays."""
+        cfg = self.cfg
+        imu = [s for s in self.imu_q if s[0] <= t1 + 1e-9]
+        self.imu_q = [s for s in self.imu_q if s[0] > t1 + 1e-9]
+        wheel = [s for s in self.wheel_q if s[0] <= t1 + 1e-9]
+        self.wheel_q = [s for s in self.wheel_q if s[0] > t1 + 1e-9]
+
+        def pad(samples, last, cap, t_prev):
+            k = min(len(samples), cap)
+            dts = np.zeros(cap)
+            a = np.zeros((cap, 3))
+            g = np.zeros((cap, 3))
+            v = np.zeros(cap, bool)
+            tp = t_prev
+            for i, (t, x, w) in enumerate(samples[:k]):
+                dts[i] = t - tp
+                a[i], g[i], v[i] = x, w, True
+                tp = t
+            x0 = last[1] if last is not None else (samples[0][1] if samples else np.zeros(3))
+            g0 = last[2] if last is not None else (samples[0][2] if samples else np.zeros(3))
+            return dts, a, g, v, x0, g0
+
+        t_prev = self.ts[-1] if self.ts else (imu[0][0] if imu else t1)
+        iv = pad(imu, self.last_imu, cfg.solver.max_imu_per_interval, t_prev)
+        wv = pad(wheel, self.last_wheel, cfg.solver.max_wheel_per_interval, t_prev)
+        if imu:
+            self.last_imu = imu[-1]
+        if wheel:
+            self.last_wheel = wheel[-1]
+        self.all_imu_window.append(imu)
+        if len(self.all_imu_window) > self.f:
+            self.all_imu_window.pop(0)
+        return iv, wv
+
+    def _write_interval(self, slot: int, iv, wv):
+        ib, wb = self.core.imu_buf, self.core.wheel_buf
+        d, a, g, v, a0, g0 = [jnp.asarray(x, self.dtype if i != 3 else bool) for i, x in enumerate(iv)]
+        ib = ib._replace(
+            dts=ib.dts.at[slot].set(d), acc=ib.acc.at[slot].set(a),
+            gyr=ib.gyr.at[slot].set(g), valid=ib.valid.at[slot].set(v),
+            acc0=ib.acc0.at[slot].set(a0), gyr0=ib.gyr0.at[slot].set(g0),
+        )
+        d, a, g, v, a0, g0 = [jnp.asarray(x, self.dtype if i != 3 else bool) for i, x in enumerate(wv)]
+        wb = wb._replace(
+            dts=wb.dts.at[slot].set(d), vel=wb.vel.at[slot].set(a),
+            gyr=wb.gyr.at[slot].set(g), valid=wb.valid.at[slot].set(v),
+            vel0=wb.vel0.at[slot].set(a0), gyr0=wb.gyr0.at[slot].set(g0),
+        )
+        self.core = self.core._replace(imu_buf=ib, wheel_buf=wb)
+
+    # --------------------------------------------------------- feature ingest
+
+    def _assign_slots(self, feats: dict[int, FrameFeature], slot_frame: int):
+        """Allocate/recycle landmark slots and write observations into the
+        padded Tracks table (FeatureManager::addFeature semantics)."""
+        tr = self.core.tracks
+        ml = self.cfg.solver.max_landmarks
+        obs_valid_np = np.asarray(tr.obs_valid)
+        active_np = np.asarray(tr.active)
+
+        # recycle slots whose feature id vanished and track died
+        live_ids = set(feats.keys())
+        for fid, slot in list(self.slot_of.items()):
+            if not active_np[slot]:
+                del self.slot_of[fid]
+                self.free_slots.append(slot)
+
+        rows, cols, vals = [], [], []
+        new_active, new_start = [], []
+        for fid, ft in feats.items():
+            slot = self.slot_of.get(fid)
+            if slot is None:
+                if not self.free_slots:
+                    continue  # table full — drop (reference caps at 1000 slots)
+                slot = self.free_slots.pop()
+                self.slot_of[fid] = slot
+                new_active.append(slot)
+                new_start.append(slot_frame)
+            rows.append(slot)
+            vals.append([ft.x, ft.y, ft.vx, ft.vy, ft.depth])
+
+        rows = np.asarray(rows, np.int32)
+        vals = np.asarray(vals, np.float64).reshape(-1, 5)
+        obs = tr.obs.at[rows, slot_frame].set(jnp.asarray(vals, self.dtype))
+        obs_valid = tr.obs_valid.at[rows, slot_frame].set(True)
+        if new_active:
+            na = np.asarray(new_active, np.int32)
+            # scrub stale observations left by the slot's previous tenant:
+            # only this frame's column may be valid for a fresh slot
+            keep_col = jnp.zeros((self.cfg.num_frames,), bool).at[slot_frame].set(True)
+            obs_valid = obs_valid.at[na].set(obs_valid[na] & keep_col[None, :])
+            tr = tr._replace(
+                active=tr.active.at[na].set(True),
+                solve_ok=tr.solve_ok.at[na].set(False),
+                depth_fixed=tr.depth_fixed.at[na].set(False),
+                start_frame=tr.start_frame.at[na].set(slot_frame),
+                inv_depth=tr.inv_depth.at[na].set(jnp.asarray(0.2, self.dtype)),
+            )
+        self.core = self.core._replace(tracks=tr._replace(obs=obs, obs_valid=obs_valid))
+
+    def _keyframe_decision(self, feats: dict[int, FrameFeature]) -> bool:
+        """Parallax / track-count keyframe gate
+        (``FeatureManager::addFeatureCheckParallax``, feature_manager.cpp:57-116):
+        keyframe if tracked-feature continuity is weak or mean parallax
+        between the two most recent frames exceeds MIN_PARALLAX."""
+        tracked = [fid for fid in feats if fid in self._prev_feats]
+        if len(tracked) < 20:
+            return True
+        dpar = [
+            np.hypot(feats[f].x - self._prev_feats[f].x, feats[f].y - self._prev_feats[f].y)
+            for f in tracked
+        ]
+        min_parallax = self.cfg.solver.keyframe_parallax_px / self.cfg.solver.focal
+        return float(np.mean(dpar)) >= min_parallax
+
+    # ------------------------------------------------------------- frame push
+
+    def input_frame(self, t: float, feats: dict[int, FrameFeature]) -> Optional[np.ndarray]:
+        """Process one synchronized camera frame's features. Returns the
+        newest optimized pose [7] once the estimator is running."""
+        is_keyframe = self._keyframe_decision(feats)
+        self._prev_feats = feats
+
+        if self.solver_flag == self.INITIAL:
+            out = self._fill_or_init(t, feats)
+        else:
+            out = self._nonlinear_frame(t, feats, is_keyframe)
+        return out
+
+    def _fill_or_init(self, t, feats):
+        f = self.f
+        k = self.frame_count
+        iv, wv = self._drain_interval(t)
+        self.ts.append(t)
+        self._write_interval(min(k, f - 1), iv, wv)
+        self._assign_slots(feats, min(k, f - 1))
+
+        # wheel dead-reckoned pose prediction during fill (initFramePoseByOdom
+        # analog, feature_manager.cpp:407-545)
+        if k > 0:
+            self._predict_pose_from_wheel(min(k, f - 1))
+        self.frame_count += 1
+        if self.frame_count == f:
+            ok = self._initialize()
+            if ok:
+                self.solver_flag = self.NON_LINEAR
+                return self._run_step(marg_old=True)
+            else:
+                # drop the oldest frame and keep filling (reference slides the
+                # init window, estimator.cpp:1092-1105)
+                self._slide_fill_window()
+        return None
+
+    def _predict_pose_from_wheel(self, slot: int):
+        """Compose previous pose with the wheel preintegration delta
+        (T^w_bj = T^w_bi · T_io · ΔT_o · T_io⁻¹)."""
+        cfg = self.cfg
+        n12 = wheel_noise_cov(cfg.wheel.vel_n, cfg.wheel.gyr_n, self.dtype)
+        wpre = preintegrate_wheel_window(self.core.wheel_buf, self.core.state.s_wheel,
+                                         self.core.state.td_wheel, n12)
+        dq = wpre.delta_q[slot]
+        dp = wpre.delta_p[slot]
+        ex = self.core.state.ex_wheel
+        delta_o = make_pose(dp, dq)
+        T_prev = self.core.state.poses[slot - 1]
+        T_new = pose_compose(pose_compose(pose_compose(T_prev, ex), delta_o), pose_inverse(ex))
+        st = self.core.state
+        self.core = self.core._replace(state=st._replace(poses=st.poses.at[slot].set(T_new)))
+
+    def _slide_fill_window(self):
+        from .estimator.buffers import slide_old_imu_buffer, slide_old_wheel_buffer
+        from .estimator.window import slide_old_state, slide_old_tracks
+
+        st = self.core.state
+        self.core = self.core._replace(
+            state=slide_old_state(st),
+            tracks=slide_old_tracks(st, self.core.tracks),
+            imu_buf=slide_old_imu_buffer(self.core.imu_buf),
+            wheel_buf=slide_old_wheel_buffer(self.core.wheel_buf),
+        )
+        self.ts.pop(0)
+        self.frame_count -= 1
+
+    # ---------------------------------------------------------------- init
+
+    def _imu_stats(self):
+        samples = [s for interval in self.all_imu_window for s in interval]
+        if not samples:
+            return None
+        accs = np.stack([s[1] for s in samples])
+        gyrs = np.stack([s[2] for s in samples])
+        return accs.mean(0), gyrs.mean(0), accs.var(0).sum(), gyrs.mean(0)
+
+    def _initialize(self) -> bool:
+        """3-mode dispatch (``Estimator::initialStructure``,
+        estimator.cpp:1557-1847): stationary → bias-only; excited → gyro-bias
+        solve + wheel linear alignment + gravity alignment."""
+        cfg = self.cfg
+        stats = self._imu_stats()
+        if stats is None:
+            return False
+        acc_mean, gyr_mean, acc_var, _ = stats
+        st = self.core.state
+
+        if acc_var < cfg.init.stationary_acc_var:
+            ba, bg, R0 = stationary_bias_init(
+                jnp.asarray(acc_mean, self.dtype), jnp.asarray(gyr_mean, self.dtype),
+                cfg.imu.g_norm,
+            )
+            # g2r(acc_mean) is the yaw-free world-from-body rotation
+            poses = jnp.tile(
+                jnp.concatenate([jnp.zeros(3, self.dtype), mat_to_quat(R0)]), (self.f, 1)
+            )
+            sbs = jnp.zeros_like(st.sbs)
+            sbs = sbs.at[:, 3:6].set(ba).at[:, 6:9].set(bg)
+            self.core = self.core._replace(state=st._replace(poses=poses, sbs=sbs))
+            return True
+
+        # dynamic / wheel-activation path
+        n18 = noise_cov(cfg.imu.acc_n, cfg.imu.gyr_n, cfg.imu.acc_w, cfg.imu.gyr_w, self.dtype)
+        n12 = wheel_noise_cov(cfg.wheel.vel_n, cfg.wheel.gyr_n, self.dtype)
+        imu_pre = preintegrate_imu_window(self.core.imu_buf, st.sbs, n18)
+        valid = jnp.asarray(np.arange(self.f) >= 1)
+        dbg = solve_gyroscope_bias(st.poses[:, 3:7], imu_pre, valid)
+        sbs = st.sbs.at[:, 6:9].add(dbg)
+        st = st._replace(sbs=sbs)
+
+        # re-preintegrate at corrected bias and run the wheel linear alignment
+        imu_pre = preintegrate_imu_window(self.core.imu_buf, st.sbs, n18)
+        wheel_pre = preintegrate_wheel_window(self.core.wheel_buf, st.s_wheel, st.td_wheel, n12)
+        Rs = quat_to_mat(st.poses[:, 3:7])
+        Ts = st.poses[:, 0:3]
+        tic = st.ex_cam[0:3]
+        tio = st.ex_wheel[0:3]
+        rio = quat_to_mat(st.ex_wheel[3:7])
+        ok, g_est, vels_body, s = linear_alignment_wheel(
+            Rs, Ts, imu_pre, wheel_pre, tic, tio, rio, cfg.imu.g_norm
+        )
+        if not bool(ok):
+            return False
+        st = align_window_to_gravity(st, g_est, vels_body, cfg.imu.g_norm)
+        self.core = self.core._replace(state=st)
+        return True
+
+    # ------------------------------------------------------------- solve step
+
+    def _nonlinear_frame(self, t, feats, is_keyframe):
+        f = self.f
+        iv, wv = self._drain_interval(t)
+        self.ts.append(t)
+        if len(self.ts) > f:
+            self.ts.pop(0)
+        self._write_interval(f - 1, iv, wv)
+        self._assign_slots(feats, f - 1)
+        return self._run_step(marg_old=is_keyframe)
+
+    def _run_step(self, marg_old: bool):
+        f = self.f
+        flags = StepFlags(
+            marg_old=jnp.asarray(bool(marg_old)),
+            stationary=jnp.asarray(False),
+            wheel_valid=jnp.asarray(np.arange(f) >= 1),
+            imu_valid=jnp.asarray(np.arange(f) >= 1),
+            td_obs=jnp.zeros(f, self.dtype),
+        )
+        core_new, out = self.step_fn(self.core, flags)
+        self.core = core_new
+        pose = np.asarray(out["pose"])
+        self.trajectory.append((self.ts[-1], pose))
+        self.keyframe_flags.append(bool(marg_old))
+        if not marg_old:
+            # second-new slide dropped frame F-2's timestamp
+            self.ts = self.ts[: f - 2] + [self.ts[f - 1]]
+            # frame-slot bookkeeping for feature start frames is array-side
+        else:
+            self.ts = self.ts[1:]
+        return pose
+
+    # ---------------------------------------------------------------- output
+
+    def write_tum(self, path: str) -> None:
+        """TUM-format trajectory dump (``visualization.cpp:346-358``)."""
+        with open(path, "w") as fp:
+            for t, p in self.trajectory:
+                # TUM: t x y z qx qy qz qw
+                fp.write(
+                    f"{t:.6f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
+                    f"{p[4]:.6f} {p[5]:.6f} {p[6]:.6f} {p[3]:.6f}\n"
+                )

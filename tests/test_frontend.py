@@ -1,0 +1,110 @@
+"""Front-end tests: pyramidal KLT on synthetic textured images with known
+motion + corner refill min-dist invariants (feature_tracker.cpp semantics)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ground_fusion_tpu.frontend.klt import (
+    build_pyramid,
+    refill_corners,
+    sample_depth,
+    track_bidirectional,
+    track_pyramidal,
+)
+
+
+def _texture(h=120, w=160, seed=0):
+    """Smooth random texture (band-limited so bilinear warping is accurate)."""
+    rng = np.random.default_rng(seed)
+    base = rng.normal(0, 1, (h // 4, w // 4))
+    img = np.kron(base, np.ones((4, 4)))
+    # light smoothing
+    k = np.ones((5, 5)) / 25.0
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    pad = np.pad(img, 2, mode="edge")
+    img = np.einsum("ijkl,kl->ij", sliding_window_view(pad, (5, 5)), k)
+    return (img - img.min()) / (img.max() - img.min()) * 255.0
+
+
+def _shift(img, dx, dy):
+    """Subpixel shift by bilinear resampling: out(x) = img(x - d)."""
+    h, w = img.shape
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    gx = np.clip(xs - dx, 0, w - 1.001)
+    gy = np.clip(ys - dy, 0, h - 1.001)
+    x0 = np.floor(gx).astype(int)
+    y0 = np.floor(gy).astype(int)
+    fx = gx - x0
+    fy = gy - y0
+    return (
+        img[y0, x0] * (1 - fx) * (1 - fy)
+        + img[y0, x0 + 1] * fx * (1 - fy)
+        + img[y0 + 1, x0] * (1 - fx) * fy
+        + img[y0 + 1, x0 + 1] * fx * fy
+    )
+
+
+def test_klt_recovers_known_shift():
+    img0 = _texture()
+    dx, dy = 3.4, -2.2
+    img1 = _shift(img0, dx, dy)
+    pyr0 = tuple(build_pyramid(jnp.asarray(img0, jnp.float32), 3))
+    pyr1 = tuple(build_pyramid(jnp.asarray(img1, jnp.float32), 3))
+
+    rng = np.random.default_rng(1)
+    pts = np.stack(
+        [rng.uniform(25, 135, 32), rng.uniform(25, 95, 32)], axis=-1
+    ).astype(np.float32)
+    valid = np.ones(32, bool)
+    fwd, ok = track_pyramidal(pyr0, pyr1, jnp.asarray(pts), jnp.asarray(pts),
+                              jnp.asarray(valid), 3)
+    fwd, ok = np.asarray(fwd), np.asarray(ok)
+    assert ok.sum() >= 24
+    flow = fwd[ok] - pts[ok]
+    err = np.abs(flow - np.array([dx, dy])).max()
+    assert err < 0.25, f"max flow error {err}px"
+
+
+def test_klt_reverse_check_kills_occluded():
+    img0 = _texture()
+    img1 = _shift(img0, 2.0, 1.0)
+    # blank out a region in img1 — features there lose their texture
+    img1[30:70, 40:90] = 0.0
+    pyr0 = tuple(build_pyramid(jnp.asarray(img0, jnp.float32), 3))
+    pyr1 = tuple(build_pyramid(jnp.asarray(img1, jnp.float32), 3))
+    pts = np.array([[60.0, 50.0], [120.0, 90.0]], np.float32)  # first lands in hole
+    fwd, ok = track_bidirectional(pyr0, pyr1, jnp.asarray(pts), jnp.asarray(pts),
+                                  jnp.asarray([True, True]), 3)
+    ok = np.asarray(ok)
+    assert bool(ok[1]), "clean feature should survive"
+    flow = np.asarray(fwd)[1] - pts[1]
+    assert np.abs(flow - np.array([2.0, 1.0])).max() < 0.3
+
+
+def test_refill_respects_min_dist():
+    img = _texture(seed=3)
+    existing = np.array([[40.0, 40.0]], np.float32)
+    pad = np.zeros((64, 2), np.float32)
+    pad[0] = existing
+    valid = np.zeros(64, bool)
+    valid[0] = True
+    pts, ok = refill_corners(jnp.asarray(img, jnp.float32), jnp.asarray(pad),
+                             jnp.asarray(valid), 32, 20, 5)
+    pts, ok = np.asarray(pts)[np.asarray(ok)], np.asarray(ok)
+    assert len(pts) >= 5
+    # min-dist from the existing feature
+    d_exist = np.linalg.norm(pts - existing, axis=1)
+    assert d_exist.min() > 20
+    # pairwise min-dist among new picks
+    dd = np.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
+    np.fill_diagonal(dd, 1e9)
+    assert dd.min() > 20
+
+
+def test_sample_depth_nearest():
+    depth = np.zeros((10, 12), np.float32)
+    depth[4, 7] = 2.5
+    out = sample_depth(jnp.asarray(depth), jnp.asarray([[6.8, 4.2]], jnp.float32))
+    assert float(out[0]) == pytest.approx(2.5)
