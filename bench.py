@@ -19,6 +19,12 @@ import numpy as np
 
 def main() -> None:
     import jax
+
+    try:
+        jax.devices()
+    except RuntimeError:
+        # no accelerator plugin in this environment — fall back to CPU
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from ground_fusion_tpu.config import Config

@@ -139,8 +139,12 @@ class LoopConfig:
     fast_threshold: int = 20
     max_keypoints: int = 500
     min_loop_gap: int = 50            # frame gap (pose_graph.cpp:447)
-    bow_score_best: float = 0.05      # gates (pose_graph.cpp:476-480)
-    bow_score_min: float = 0.015
+    # gate semantics as pose_graph.cpp:476-480 (best > A, top-4 candidates
+    # > B, earliest wins) but recalibrated: the reference's 0.05/0.015 are
+    # operating points of its 1M-leaf DBoW2 vocabulary; our 4096-word LSH
+    # vocabulary scores unrelated scenes ≈ 0.15 and true revisits ≈ 0.8
+    bow_score_best: float = 0.30
+    bow_score_min: float = 0.25
     hamming_thresh: int = 80          # keyframe.cpp:215
     pnp_reproj_px: float = 10.0       # keyframe.cpp:299-305
     min_matches: int = 25

@@ -1,0 +1,111 @@
+"""Bag-of-binary-words place recognition as dense device math.
+
+Replaces DBoW2's k=10/L=6 vocabulary-tree query (``dense_map/src/
+ThirdParty/DBoW``, ``pose_graph.cpp:432-512`` detectLoop) with an LSH
+word quantizer + one dense score computation over the whole keyframe
+database: word id = selected descriptor bit positions (the tree's only job is
+descriptor→word quantization; a bit-select hash is the branch-free analog),
+TF-IDF-weighted L1 scoring identical to DBoW2's ``L1Scoring``
+(s = 1 − ½‖v₁̂ − v₂̂‖₁), computed for all N stored keyframes in one shot —
+the database "query" is a [N, W]·elementwise reduce the VPU eats, no tree
+walk, no early-out heuristics.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def word_selector(n_word_bits: int = 12, n_desc_bits: int = 256, seed: int = 11):
+    """Fixed bit positions defining the word hash (word space W = 2^bits)."""
+    rng = np.random.default_rng(seed)
+    return rng.choice(n_desc_bits, size=n_word_bits, replace=False).astype(np.int32)
+
+
+@partial(jax.jit, static_argnames=("n_word_bits",))
+def words_of(desc_packed: jax.Array, ok: jax.Array, sel: jax.Array,
+             n_word_bits: int = 12) -> jax.Array:
+    """Packed [K,8]-uint32 descriptors → word ids [K] (invalid → -1)."""
+    word_idx = sel // 32
+    bit_idx = (sel % 32).astype(jnp.uint32)
+    bits = (desc_packed[:, word_idx] >> bit_idx[None, :]) & 1   # [K, nbits]
+    weights = (2 ** jnp.arange(n_word_bits, dtype=jnp.uint32))[None, :]
+    w = jnp.sum(bits * weights, axis=-1).astype(jnp.int32)
+    return jnp.where(ok, w, -1)
+
+
+@partial(jax.jit, static_argnames=("n_words",))
+def bow_histogram(words: jax.Array, n_words: int = 4096) -> jax.Array:
+    """Word ids → L1-normalized term-frequency histogram [W]."""
+    ok = words >= 0
+    hist = jnp.zeros((n_words,), jnp.float32).at[jnp.where(ok, words, 0)].add(
+        ok.astype(jnp.float32)
+    )
+    return hist / jnp.maximum(jnp.sum(hist), 1.0)
+
+
+@jax.jit
+def l1_scores(db_hists: jax.Array, db_valid: jax.Array, query: jax.Array,
+              idf: jax.Array) -> jax.Array:
+    """DBoW2 L1 score of `query` against every stored keyframe:
+    s = 1 − ½‖v̂_q − v̂_d‖₁ with TF-IDF weighting (TemplatedVocabulary
+    L1Scoring). Returns [N] scores (0 where slot empty)."""
+    qw = query * idf
+    qw = qw / jnp.maximum(jnp.sum(jnp.abs(qw)), 1e-12)
+    dw = db_hists * idf[None, :]
+    dw = dw / jnp.maximum(jnp.sum(jnp.abs(dw), axis=1, keepdims=True), 1e-12)
+    s = 1.0 - 0.5 * jnp.sum(jnp.abs(dw - qw[None, :]), axis=1)
+    return jnp.where(db_valid, s, 0.0)
+
+
+class KeyframeDatabase:
+    """Fixed-capacity BoW database (host wrapper over device arrays) —
+    the DBoW2 ``db.query(..., 4, frame_index-50)`` + gate logic of
+    ``PoseGraph::detectLoop`` (pose_graph.cpp:432-512)."""
+
+    def __init__(self, capacity: int = 2048, n_words: int = 4096,
+                 score_best: float = 0.05, score_min: float = 0.015,
+                 min_gap: int = 50):
+        self.capacity = capacity
+        self.n_words = n_words
+        self.score_best = score_best
+        self.score_min = score_min
+        self.min_gap = min_gap
+        self.hists = jnp.zeros((capacity, n_words), jnp.float32)
+        self.valid = jnp.zeros((capacity,), bool)
+        self.doc_freq = np.zeros(n_words, np.float64)
+        self.count = 0
+
+    def idf(self) -> jax.Array:
+        n = max(self.count, 1)
+        return jnp.asarray(
+            np.log(np.maximum(n / np.maximum(self.doc_freq, 1.0), 1.0)) + 1.0,
+            jnp.float32,
+        )
+
+    def add(self, hist: jax.Array) -> int:
+        i = self.count % self.capacity
+        self.hists = self.hists.at[i].set(hist)
+        self.valid = self.valid.at[i].set(True)
+        self.doc_freq += np.asarray(hist > 0, np.float64)
+        self.count += 1
+        return i
+
+    def query(self, hist: jax.Array, cur_index: int):
+        """Earliest candidate passing the two-threshold gate, or -1
+        (pose_graph.cpp:476-508: best score > 0.05, candidates > 0.015,
+        skip the last ``min_gap`` keyframes, earliest index wins)."""
+        if self.count == 0:
+            return -1
+        scores = np.asarray(l1_scores(self.hists, self.valid, hist, self.idf()))
+        recent = np.arange(self.capacity) > cur_index - self.min_gap
+        scores_g = np.where(recent[: len(scores)], 0.0, scores)
+        top4 = np.argsort(-scores_g)[:4]                 # DBoW2 query(..., 4)
+        if scores_g[top4[0]] <= self.score_best:
+            return -1
+        cands = [int(i) for i in top4 if scores_g[i] > self.score_min]
+        return min(cands) if cands else -1

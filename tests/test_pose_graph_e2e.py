@@ -1,0 +1,86 @@
+"""End-to-end PoseGraph test: keyframes around a drifted loop with
+place-dependent imagery; loop detection + PnP verification + 4-DoF relaxation
+must reduce the end-of-loop error (pose_graph.cpp:77-705 semantics)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ground_fusion_tpu.config import Config
+from ground_fusion_tpu.geometry.so3 import mat_to_quat, ypr_to_mat
+from ground_fusion_tpu.global_layers.pose_graph import Keyframe, PoseGraph
+
+
+def _place_texture(p):
+    r = np.random.default_rng(100 + p)
+    base = r.normal(0, 1, (30, 40))
+    img = np.kron(base, np.ones((4, 4)))
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    pad = np.pad(img, 2, mode="edge")
+    img = np.einsum("ijkl->ij", sliding_window_view(pad, (5, 5))) / 25.0
+    return (img - img.min()) / (img.max() - img.min()) * 255.0
+
+
+@pytest.mark.slow
+def test_pose_graph_loop_closure():
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, loop=dataclasses.replace(cfg.loop, min_loop_gap=5, min_matches=12)
+    )
+    pg = PoseGraph(cfg)
+
+    true_yaw = np.linspace(0, 2 * np.pi, 11)
+    drift_per_kf = 0.015
+    n_kf = 11
+    landmarks = {}
+
+    for k in range(n_kf):
+        place = k % 10
+        yaw_t = true_yaw[k] if k < 10 else true_yaw[0]
+        pt_true = np.array([3 * np.cos(yaw_t), 3 * np.sin(yaw_t), 0.0])
+        yaw_est = yaw_t + drift_per_kf * k
+        pt_est = pt_true + np.array([0.02 * k, -0.015 * k, 0.0])
+        R_est = np.asarray(ypr_to_mat(jnp.asarray([yaw_est, 0.0, 0.0], jnp.float64)))
+        pose = np.concatenate([pt_est, np.asarray(mat_to_quat(jnp.asarray(R_est)))])
+
+        img = _place_texture(place)
+        # physical landmarks: body-frame points per place (drift-independent)
+        if place not in landmarks:
+            r2 = np.random.default_rng(500 + place)
+            landmarks[place] = np.stack(
+                [r2.uniform(-1, 1, 40), r2.uniform(-0.8, 0.8, 40), r2.uniform(2, 5, 40)],
+                -1,
+            )
+        pc = landmarks[place]
+        # the keyframe publishes its landmarks in its OWN (drifted) world
+        # frame, like the reference's VIO point cloud
+        pts_w = pc @ R_est.T + pt_est
+        win_norm = pc[:, 0:2] / pc[:, 2:3]
+        win_px = win_norm * 100 + np.array([80, 60])
+
+        pts, ok, desc, win_desc = pg.describe(img, win_px)
+        kp_norm = (pts - np.array([80, 60])) / 100.0
+        all_desc = np.concatenate([desc, win_desc])
+        all_ok = np.concatenate([np.asarray(ok), np.ones(len(win_desc), bool)])
+        all_kp = np.concatenate([np.asarray(pts), win_px])
+        all_kp_norm = np.concatenate([kp_norm, win_norm])
+
+        kf = Keyframe(
+            index=k, t=float(k), pose=pose,
+            kp=all_kp, kp_norm=all_kp_norm, desc=all_desc, kp_ok=all_ok,
+            win_pts3d=pts_w, win_norm=win_norm, win_desc=win_desc,
+            win_ok=np.ones(len(pts_w), bool),
+        )
+        pg.add_keyframe(kf)
+
+    assert len(pg.loop_edges) >= 1, "no loop edge formed"
+    end_before = pg.kfs[-1].pose[0:3].copy()
+    pg.optimize()
+    end_after = pg.kfs[-1].pose[0:3].copy()
+    true_end = np.array([3.0, 0.0, 0.0])
+    err_b = np.linalg.norm(end_before - true_end)
+    err_a = np.linalg.norm(end_after - true_end)
+    assert err_a < 0.6 * err_b, f"loop closure did not help: {err_b} -> {err_a}"
