@@ -251,6 +251,11 @@ class SolveInputs(NamedTuple):
     prior: MargPrior
     g: jax.Array                # [3] gravity in world
     free_mask: jax.Array        # [TOTAL] 1.0 = optimizable, 0.0 = frozen
+    # --- optional GNSS block (None ⇒ GNSS factors compiled out) ---
+    gnss_obs: object = None     # gnss.factors.GnssObsWindow | None
+    gnss_ready: jax.Array | None = None   # [] bool — gnss_ready gate
+    frame_dts: jax.Array | None = None    # [F] Δt between adjacent frames
+    ddt_weight: jax.Array | None = None   # [] GNSS_DDT_WEIGHT
 
 
 def assemble_rows(state: WindowState, tracks: Tracks, inp: SolveInputs,
@@ -264,8 +269,15 @@ def assemble_rows(state: WindowState, tracks: Tracks, inp: SolveInputs,
     )
     Jp, rp = linearize_plane(state, inp.plane_valid, plane_sqrt_info, layout)
     Jm, rm = linearize_prior(state, inp.prior, layout)
-    J = jnp.concatenate([Ji, Jw, Jv, Jp, Jm], axis=0)
-    r = jnp.concatenate([ri, rw, rv, rp, rm], axis=0)
+    rows = [(Ji, ri), (Jw, rw), (Jv, rv), (Jp, rp), (Jm, rm)]
+    if inp.gnss_obs is not None:
+        from ..gnss.factors import linearize_clock_chain, linearize_gnss_psr_dopp
+
+        rows.append(linearize_gnss_psr_dopp(state, inp.gnss_obs, inp.gnss_ready, layout))
+        rows.append(linearize_clock_chain(state, inp.frame_dts, inp.gnss_ready,
+                                          inp.ddt_weight, layout))
+    J = jnp.concatenate([a for a, _ in rows], axis=0)
+    r = jnp.concatenate([b for _, b in rows], axis=0)
     return J * inp.free_mask[None, :], r
 
 

@@ -120,25 +120,29 @@ def _solve_banded(A9, b9, n, tail_dim, dtype):
     return x
 
 
-def linear_alignment_wheel(Rs, Ts, imu_pre: ImuPreint, wheel_pre: WheelPreint,
-                           tic, tio, rio_mat, g_norm: float, refine_iters: int = 4):
-    """Wheel-aided velocity/gravity/scale alignment + tangent-space gravity
-    refinement (LinearAlignmentWithWheel + RefineGravityWithWheel,
-    initial_aligment.cpp:353-497).
+def _alignment_solve(A9, b9, n, dtype, g_norm, use_wheel: bool, use_scale: bool,
+                     refine_iters: int = 4):
+    """Shared solve + tangent-space gravity refinement for all four
+    ``LinearAlignment*`` variants (initial_aligment.cpp:199-653 dispatch:
+    mono/Wheel/Depth/WD differ only in which rows exist and whether scale is a
+    variable)."""
+    if not use_wheel:
+        A9 = A9.at[:, 6:9, :].set(0.0)
+        b9 = b9.at[:, 6:9].set(0.0)
+    if not use_scale:
+        # scale known = 1: move the (column × 100·s) term to the rhs
+        b9 = b9 - 100.0 * A9[:, :, 9]
+        A9 = A9.at[:, :, 9].set(0.0)
 
-    Rs [N,3,3], Ts [N,3] — frame body rotations/positions (from wheel odometry
-    or SfM). Returns (ok, g_world [3], velocities_body [N,3], scale)."""
-    n = Rs.shape[0]
-    dtype = Rs.dtype
-    A9, b9 = _alignment_blocks(Rs, Ts, imu_pre, wheel_pre, tic, tio, rio_mat)
     x = _solve_banded(A9, b9, n, 4, dtype)
     g_est = x[3 * n : 3 * n + 3]
-    s = x[3 * n + 3] / 100.0
-    ok = (jnp.abs(jnp.linalg.norm(g_est) - g_norm) < 0.5) & (s >= 0)
+    s = x[3 * n + 3] / 100.0 if use_scale else jnp.asarray(1.0, dtype)
+    ok = jnp.abs(jnp.linalg.norm(g_est) - g_norm) < 0.5
+    if use_scale:
+        ok = ok & (s >= 0)
 
-    # refinement: substitute g = ĝ·g_norm + lxly·dg, re-solve (4 rounds)
     def refine(carry, _):
-        g0, _ = carry
+        g0, _, _ = carry
         g0 = g0 / jnp.linalg.norm(g0) * g_norm
         lxly = tangent_basis(g0)                              # [3,2]
         A8 = jnp.concatenate(
@@ -151,12 +155,69 @@ def linear_alignment_wheel(Rs, Ts, imu_pre: ImuPreint, wheel_pre: WheelPreint,
         dg = x[3 * n : 3 * n + 2]
         g1 = g0 + lxly @ dg
         g1 = g1 / jnp.linalg.norm(g1) * g_norm
-        return (g1, x), None
+        s1 = x[3 * n + 2] / 100.0 if use_scale else jnp.asarray(1.0, dtype)
+        return (g1, x[: 3 * n], s1), None
 
-    (g_ref, x_ref), _ = jax.lax.scan(refine, (g_est, x), None, length=refine_iters)
-    s_ref = x_ref[3 * n + 2] / 100.0
-    vels = x_ref[: 3 * n].reshape(n, 3)
-    return ok & (s_ref >= 0), g_ref, vels, s_ref
+    s0 = s if use_scale else jnp.asarray(1.0, dtype)
+    (g_ref, vels_flat, s_ref), _ = jax.lax.scan(
+        refine, (g_est, x[: 3 * n], s0), None, length=refine_iters
+    )
+    vels = vels_flat.reshape(n, 3)
+    if use_scale:
+        ok = ok & (s_ref >= 0)
+    return ok, g_ref, vels, s_ref
+
+
+def linear_alignment_wheel(Rs, Ts, imu_pre: ImuPreint, wheel_pre: WheelPreint,
+                           tic, tio, rio_mat, g_norm: float, refine_iters: int = 4):
+    """Wheel-aided velocity/gravity/scale alignment (LinearAlignmentWithWheel
+    + RefineGravityWithWheel, initial_aligment.cpp:353-497).
+
+    Rs [N,3,3], Ts [N,3] — frame body rotations/positions (from wheel odometry
+    or SfM). Returns (ok, g_world [3], velocities_body [N,3], scale)."""
+    A9, b9 = _alignment_blocks(Rs, Ts, imu_pre, wheel_pre, tic, tio, rio_mat)
+    return _alignment_solve(A9, b9, Rs.shape[0], Rs.dtype, g_norm,
+                            use_wheel=True, use_scale=True,
+                            refine_iters=refine_iters)
+
+
+def linear_alignment_mono(Rs, Ts, imu_pre: ImuPreint, tic, g_norm: float):
+    """Monocular-visual alignment with unknown scale (LinearAlignment,
+    initial_aligment.cpp:199-280)."""
+    from ..preintegration.wheel import identity_wheel_preint
+
+    n = Rs.shape[0]
+    wp = jax.tree_util.tree_map(
+        lambda a: jnp.stack([a] * n), identity_wheel_preint(Rs.dtype)
+    )
+    A9, b9 = _alignment_blocks(Rs, Ts, imu_pre, wp, tic, jnp.zeros(3, Rs.dtype),
+                               jnp.eye(3, dtype=Rs.dtype))
+    return _alignment_solve(A9, b9, n, Rs.dtype, g_norm,
+                            use_wheel=False, use_scale=True)
+
+
+def linear_alignment_depth(Rs, Ts, imu_pre: ImuPreint, tic, g_norm: float):
+    """RGBD alignment — metric scale known (LinearAlignmentWithDepth,
+    initial_aligment.cpp:574-638)."""
+    from ..preintegration.wheel import identity_wheel_preint
+
+    n = Rs.shape[0]
+    wp = jax.tree_util.tree_map(
+        lambda a: jnp.stack([a] * n), identity_wheel_preint(Rs.dtype)
+    )
+    A9, b9 = _alignment_blocks(Rs, Ts, imu_pre, wp, tic, jnp.zeros(3, Rs.dtype),
+                               jnp.eye(3, dtype=Rs.dtype))
+    return _alignment_solve(A9, b9, n, Rs.dtype, g_norm,
+                            use_wheel=False, use_scale=False)
+
+
+def linear_alignment_wd(Rs, Ts, imu_pre: ImuPreint, wheel_pre: WheelPreint,
+                        tic, tio, rio_mat, g_norm: float):
+    """Wheel + depth alignment — wheel rows, metric scale known
+    (LinearAlignmentWithWD, initial_aligment.cpp:499-572)."""
+    A9, b9 = _alignment_blocks(Rs, Ts, imu_pre, wheel_pre, tic, tio, rio_mat)
+    return _alignment_solve(A9, b9, Rs.shape[0], Rs.dtype, g_norm,
+                            use_wheel=True, use_scale=False)
 
 
 def stationary_bias_init(acc_mean: jax.Array, gyr_mean: jax.Array, g_norm: float):

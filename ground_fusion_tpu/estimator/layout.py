@@ -52,9 +52,31 @@ class StateLayout:
         return self.td_wheel + 1
 
     @property
+    def gnss_dt(self) -> int:       # receiver clock bias, 4 constellations × F
+        return self.plane + 4
+
+    @property
+    def gnss_ddt(self) -> int:      # receiver clock drift × F
+        return self.gnss_dt + 4 * self.num_frames
+
+    @property
+    def yaw_enu(self) -> int:       # ENU-local yaw offset (para_yaw_enu_local)
+        return self.gnss_ddt + self.num_frames
+
+    @property
+    def anc_ecef(self) -> int:      # ECEF anchor (para_anc_ecef)
+        return self.yaw_enu + 1
+
+    @property
     def nx(self) -> int:
         """Camera-block size (columns before the landmark tail)."""
-        return self.plane + 4
+        return self.anc_ecef + 3
+
+    def dt_col(self, k: int, sys: int) -> int:
+        return self.gnss_dt + 4 * k + sys
+
+    def ddt_col(self, k: int) -> int:
+        return self.gnss_ddt + k
 
     @property
     def depth0(self) -> int:

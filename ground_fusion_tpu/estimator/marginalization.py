@@ -96,8 +96,19 @@ def marginalize_old(
     )
     Jp, rp = linearize_plane(state, inp.plane_valid & only0, plane_sqrt_info, layout)
     Jm, rm = linearize_prior(state, inp.prior, layout)
-    J = jnp.concatenate([Ji, Jw, Jv, Jp, Jm], axis=0) * inp.free_mask[None, :]
-    r = jnp.concatenate([ri, rw, rv, rp, rm], axis=0)
+    rows = [(Ji, ri), (Jw, rw), (Jv, rv), (Jp, rp), (Jm, rm)]
+    if inp.gnss_obs is not None:
+        # GNSS factors of the dropped frame: slot-0 epochs + clock pair (0,1)
+        # (estimator.cpp:3398-3434)
+        from ..gnss.factors import linearize_clock_chain, linearize_gnss_psr_dopp
+
+        rows.append(linearize_gnss_psr_dopp(
+            state, inp.gnss_obs, inp.gnss_ready, layout, slot_filter=only0))
+        rows.append(linearize_clock_chain(
+            state, inp.frame_dts, inp.gnss_ready, inp.ddt_weight, layout,
+            pair_filter=only1))
+    J = jnp.concatenate([a for a, _ in rows], axis=0) * inp.free_mask[None, :]
+    r = jnp.concatenate([b for _, b in rows], axis=0)
 
     Jc, Jl = J[:, :nx], J[:, nx:]
     Hcc = Jc.T @ Jc
@@ -109,17 +120,33 @@ def marginalize_old(
     Hred = Hcc - (Hcl * w[None, :]) @ Hcl.T             # batched rank-1 down-dates
     bred = bc - Hcl @ (w * bl)
 
-    drop = np.arange(PER_FRAME)
-    keep = np.arange(PER_FRAME, nx)
+    # drop set: pose0+sb0 tangent (15) + frame-0 GNSS clock dt (4) and ddt (1)
+    # (estimator.cpp:3351-3420 drop_set construction)
+    drop = np.concatenate([
+        np.arange(PER_FRAME),
+        layout.gnss_dt + np.arange(4),
+        np.array([layout.gnss_ddt]),
+    ])
+    keep = np.setdiff1d(np.arange(nx), drop)
     Hk, bk = _schur_drop(Hred, bred, drop, keep)
-    J_keep, r_keep = _sqrt_factorize(Hk, bk)            # [nk, nk], nk = nx - 15
+    J_keep, r_keep = _sqrt_factorize(Hk, bk)            # [nk, nk]
 
-    # --- address shift into the post-slide layout ---
-    nk = nx - PER_FRAME
-    frames_keep = PER_FRAME * (f - 1)                   # old frames 1..F-1
+    # --- address shift into the post-slide layout (estimator.cpp:3500-3528):
+    # frame cols shift down one slot; per-frame GNSS dt/ddt likewise; calib,
+    # yaw_enu and anchor stay put ---
+    nk = keep.shape[0]
+    new_col = keep.copy()
+    frame_cols = keep < PER_FRAME * f
+    new_col[frame_cols] -= PER_FRAME
+    dt_cols = (keep >= layout.gnss_dt) & (keep < layout.gnss_dt + 4 * f)
+    new_col[dt_cols] -= 4
+    ddt_cols = (keep >= layout.gnss_ddt) & (keep < layout.gnss_ddt + f)
+    new_col[ddt_cols] -= 1
     J0 = jnp.zeros((nx, nx), dtype)
-    J0 = J0.at[:nk, 0:frames_keep].set(J_keep[:, 0:frames_keep])
-    J0 = J0.at[:nk, PER_FRAME * f : nx].set(J_keep[:, frames_keep:])
+    # .add, not .set: in the second-new map, old frame F-1's sb cols land on
+    # slot F-2's sb positions whose own (provably zero) cols are also kept —
+    # scatter-add keeps that collision well-defined
+    J0 = J0.at[:nk, new_col].add(J_keep)
     r0 = jnp.zeros((nx,), dtype).at[:nk].set(r_keep)
     return MargPrior(J0=J0, r0=r0, lin=slide_old_state(state), valid=jnp.ones((), bool))
 
@@ -142,24 +169,32 @@ def marginalize_second_new(
     H = prior.J0.T @ prior.J0
     b = prior.J0.T @ r_cur
 
+    # drop set: pose(F-2) tangent only (estimator.cpp:3546-3552; slot F-2's
+    # GNSS dt/ddt cols are provably zero and shift away with the same map)
     p = PER_FRAME * (f - 2)
     drop = np.arange(p, p + 6)
-    keep = np.concatenate([np.arange(0, p), np.arange(p + 6, nx)])
+    keep = np.setdiff1d(np.arange(nx), drop)
     Hk, bk = _schur_drop(H, b, drop, keep)
     J_keep, r_keep = _sqrt_factorize(Hk, bk)
 
-    # keep-vector positions: [0:p] frames 0..F-3 + pose(F-2) excluded,
-    # [p:p+9] sb(F-2) (guaranteed zero cols), then frame F-1 + calib.
-    # Post-slide: frame F-1 cols move onto slot F-2; everything else identity.
-    nk = nx - 6
-    J0 = jnp.zeros((nx, nx), dtype)
-    J0 = J0.at[:nk, 0:p].set(J_keep[:, 0:p])
-    J0 = J0.at[:nk, p + 6 : nx].set(J_keep[:, p:])
-    # move old frame F-1 columns (pose+sb) into slot F-2
+    # address map (estimator.cpp:3583-3618): i==F-2 skipped, i==F-1 →
+    # slot F-2 for pose/sb and GNSS dt/ddt; all else identity
+    nk = keep.shape[0]
+    new_col = keep.copy()
     old_f1 = PER_FRAME * (f - 1)
-    colsrc = J0[:, old_f1 : old_f1 + PER_FRAME]
-    J0 = J0.at[:, p : p + PER_FRAME].add(colsrc)
-    J0 = J0.at[:, old_f1 : old_f1 + PER_FRAME].set(0.0)
+    mv = (keep >= old_f1) & (keep < old_f1 + PER_FRAME)
+    new_col[mv] -= PER_FRAME
+    dt_f1 = layout.gnss_dt + 4 * (f - 1)
+    mv = (keep >= dt_f1) & (keep < dt_f1 + 4)
+    new_col[mv] -= 4
+    ddt_f1 = layout.gnss_ddt + (f - 1)
+    mv = keep == ddt_f1
+    new_col[mv] -= 1
+    J0 = jnp.zeros((nx, nx), dtype)
+    # .add, not .set: in the second-new map, old frame F-1's sb cols land on
+    # slot F-2's sb positions whose own (provably zero) cols are also kept —
+    # scatter-add keeps that collision well-defined
+    J0 = J0.at[:nk, new_col].add(J_keep)
     r0 = jnp.zeros((nx,), dtype).at[:nk].set(r_keep)
     # the reference re-linearizes the kept prior at the *current* values
     # (preMarginalize copies parameter_block_data from live state)

@@ -53,6 +53,8 @@ class StepFlags(NamedTuple):
     wheel_valid: jax.Array     # [F] per-interval wheel gate (anomaly ⇒ False)
     imu_valid: jax.Array       # [F] per-interval IMU availability
     td_obs: jax.Array          # [F] td at capture per frame
+    gnss_ready: jax.Array | None = None   # [] bool — GNSS-VI aligned
+    frame_dts: jax.Array | None = None    # [F] Δt between adjacent frames
 
 
 class EstimatorCore(NamedTuple):
@@ -63,6 +65,7 @@ class EstimatorCore(NamedTuple):
     imu_buf: ImuWindowBuffer
     wheel_buf: WheelWindowBuffer
     prior: MargPrior
+    gnss_obs: object = None    # gnss.factors.GnssObsWindow when GNSS enabled
 
 
 def base_free_mask(cfg: Config, layout: StateLayout) -> np.ndarray:
@@ -82,6 +85,8 @@ def base_free_mask(cfg: Config, layout: StateLayout) -> np.ndarray:
         m[layout.td_wheel] = 0.0
     if not cfg.plane.enabled:
         m[layout.plane : layout.plane + 4] = 0.0
+    if not cfg.gnss.enabled:
+        m[layout.gnss_dt : layout.nx] = 0.0
     return m
 
 
@@ -118,6 +123,7 @@ def make_window_step(cfg: Config):
 
         tracks = triangulate_all(state, tracks, depth_max=cfg.tracker.depth_max)
 
+        use_gnss = cfg.gnss.enabled and core.gnss_obs is not None
         inp = SolveInputs(
             imu_pre=imu_pre,
             imu_valid=flags.imu_valid,
@@ -128,6 +134,10 @@ def make_window_step(cfg: Config):
             prior=core.prior,
             g=g,
             free_mask=free_mask,
+            gnss_obs=core.gnss_obs if use_gnss else None,
+            gnss_ready=flags.gnss_ready if use_gnss else None,
+            frame_dts=flags.frame_dts if use_gnss else None,
+            ddt_weight=jnp.asarray(cfg.gnss.ddt_weight, dtype) if use_gnss else None,
         )
         params = SolverParams(
             sqrt_info_scale=jnp.asarray(cfg.solver.focal / 1.5, dtype),
@@ -146,6 +156,21 @@ def make_window_step(cfg: Config):
         )
         state = reanchor_yaw(state_before, state)
 
+        def _slide_gnss_old(o):
+            if o is None:
+                return None
+            return jax.tree_util.tree_map(
+                lambda a: jnp.roll(a, -1, axis=0).at[-1].set(jnp.zeros_like(a[-1])), o
+            )
+
+        def _slide_gnss_new(o):
+            if o is None:
+                return None
+            fz = o.psr.shape[0]
+            return jax.tree_util.tree_map(
+                lambda a: a.at[fz - 2].set(a[fz - 1]).at[fz - 1].set(jnp.zeros_like(a[fz - 1])), o
+            )
+
         def do_old(_):
             prior = marginalize_old(
                 state, tracks, inp, layout, params.sqrt_info_scale,
@@ -157,6 +182,7 @@ def make_window_step(cfg: Config):
                 imu_buf=slide_old_imu_buffer(core.imu_buf),
                 wheel_buf=slide_old_wheel_buffer(core.wheel_buf),
                 prior=prior,
+                gnss_obs=_slide_gnss_old(core.gnss_obs),
             )
 
         def do_new(_):
@@ -167,6 +193,7 @@ def make_window_step(cfg: Config):
                 imu_buf=slide_new_imu_buffer(core.imu_buf),
                 wheel_buf=slide_new_wheel_buffer(core.wheel_buf),
                 prior=prior,
+                gnss_obs=_slide_gnss_new(core.gnss_obs),
             )
 
         core_new = jax.lax.cond(flags.marg_old, do_old, do_new, None)

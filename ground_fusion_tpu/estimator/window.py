@@ -40,6 +40,10 @@ class WindowState(NamedTuple):
     td_wheel: jax.Array  # []
     plane_q: jax.Array   # [4] q_pw (plane-from-world)
     plane_z: jax.Array   # [] z_pw
+    rcv_dt: jax.Array    # [F, 4] GNSS receiver clock bias per constellation (m)
+    rcv_ddt: jax.Array   # [F] receiver clock drift (m/s)
+    yaw_enu: jax.Array   # [] ENU-local yaw offset
+    anc_ecef: jax.Array  # [3] ECEF anchor
 
     @property
     def dtype(self):
@@ -76,6 +80,10 @@ def empty_state(num_frames: int, dtype=jnp.float32) -> WindowState:
         td_wheel=jnp.zeros((), dtype),
         plane_q=jnp.array([1.0, 0, 0, 0], dtype),
         plane_z=jnp.zeros((), dtype),
+        rcv_dt=jnp.zeros((num_frames, 4), dtype),
+        rcv_ddt=jnp.zeros((num_frames,), dtype),
+        yaw_enu=jnp.zeros((), dtype),
+        anc_ecef=jnp.zeros((3,), dtype),
     )
 
 
@@ -120,7 +128,12 @@ def retract(state: WindowState, delta: jax.Array, layout: StateLayout) -> Window
         quat_mul(state.plane_q, quat_exp(delta[layout.plane : layout.plane + 3]))
     )
     plane_z = state.plane_z + delta[layout.plane + 3]
-    return WindowState(poses, sbs, ex_cam, td, ex_wheel, s_wheel, td_wheel, plane_q, plane_z)
+    rcv_dt = state.rcv_dt + delta[layout.gnss_dt : layout.gnss_dt + 4 * f].reshape(f, 4)
+    rcv_ddt = state.rcv_ddt + delta[layout.gnss_ddt : layout.gnss_ddt + f]
+    yaw_enu = state.yaw_enu + delta[layout.yaw_enu]
+    anc_ecef = state.anc_ecef + delta[layout.anc_ecef : layout.anc_ecef + 3]
+    return WindowState(poses, sbs, ex_cam, td, ex_wheel, s_wheel, td_wheel,
+                       plane_q, plane_z, rcv_dt, rcv_ddt, yaw_enu, anc_ecef)
 
 
 def boxminus(state: WindowState, ref: WindowState, layout: StateLayout) -> jax.Array:
@@ -157,6 +170,10 @@ def boxminus(state: WindowState, ref: WindowState, layout: StateLayout) -> jax.A
             state.s_wheel - ref.s_wheel,
             (state.td_wheel - ref.td_wheel)[None],
             d_plane,
+            (state.rcv_dt - ref.rcv_dt).reshape(-1),
+            state.rcv_ddt - ref.rcv_ddt,
+            (state.yaw_enu - ref.yaw_enu)[None],
+            state.anc_ecef - ref.anc_ecef,
         ]
     )
 
@@ -173,7 +190,9 @@ def slide_old_state(state: WindowState) -> WindowState:
     the prediction for the incoming frame)."""
     poses = jnp.roll(state.poses, -1, axis=0).at[-1].set(state.poses[-1])
     sbs = jnp.roll(state.sbs, -1, axis=0).at[-1].set(state.sbs[-1])
-    return state._replace(poses=poses, sbs=sbs)
+    rcv_dt = jnp.roll(state.rcv_dt, -1, axis=0).at[-1].set(state.rcv_dt[-1])
+    rcv_ddt = jnp.roll(state.rcv_ddt, -1, axis=0).at[-1].set(state.rcv_ddt[-1])
+    return state._replace(poses=poses, sbs=sbs, rcv_dt=rcv_dt, rcv_ddt=rcv_ddt)
 
 
 def slide_new_state(state: WindowState) -> WindowState:
@@ -182,7 +201,9 @@ def slide_new_state(state: WindowState) -> WindowState:
     f = state.poses.shape[0]
     poses = state.poses.at[f - 2].set(state.poses[f - 1])
     sbs = state.sbs.at[f - 2].set(state.sbs[f - 1])
-    return state._replace(poses=poses, sbs=sbs)
+    rcv_dt = state.rcv_dt.at[f - 2].set(state.rcv_dt[f - 1])
+    rcv_ddt = state.rcv_ddt.at[f - 2].set(state.rcv_ddt[f - 1])
+    return state._replace(poses=poses, sbs=sbs, rcv_dt=rcv_dt, rcv_ddt=rcv_ddt)
 
 
 def slide_old_tracks(state: WindowState, tracks: Tracks) -> Tracks:

@@ -39,6 +39,7 @@ from ..estimator.window import Tracks, WindowState, retract
 
 
 def _visual_schur_local(state: WindowState, tracks: Tracks, td_obs, nx: int,
+                        ex_col: int, td_col: int,
                         sqrt_info_scale, cauchy_delta, min_track: int = 4):
     """Linearize this device's landmark shard and Schur-eliminate its depths.
 
@@ -84,8 +85,8 @@ def _visual_schur_local(state: WindowState, tracks: Tracks, td_obs, nx: int,
         [
             (PER_FRAME * si)[:, None] + jnp.arange(6)[None, :],
             (PER_FRAME * js)[:, None] + jnp.arange(6)[None, :],
-            jnp.tile(jnp.arange(nx - 21, nx - 21 + 6), (ml * f, 1)),  # ex_cam block
-            jnp.full((ml * f, 1), nx - 21 + 6, jnp.int32),            # td
+            jnp.tile(jnp.arange(ex_col, ex_col + 6), (ml * f, 1)),    # ex_cam block
+            jnp.full((ml * f, 1), td_col, jnp.int32),                 # td
         ],
         axis=1,
     )
@@ -121,10 +122,6 @@ def make_sharded_gn(cfg: Config, mesh: Mesh, iters: int = 8, damping: float = 1e
     cdelta = cfg.solver.huber_delta
     plane_si = jnp.asarray([cfg.plane.roll_n_inv, cfg.plane.pitch_n_inv, cfg.plane.zpw_n_inv])
 
-    # note for the camera-cols layout inside the shard kernel: ex_cam block
-    # sits at nx-21 .. nx-15 and td at nx-15+? — keep consistent with
-    # StateLayout: ex_cam = PER_FRAME * F, td = ex_cam + 6
-    assert layout.ex_cam == nx - 21 and layout.td == nx - 21 + 6
 
     def gn_iteration(state, tracks_shard, inp: SolveInputs):
         # camera-only factor classes: identical on every device (cheap)
@@ -138,7 +135,7 @@ def make_sharded_gn(cfg: Config, mesh: Mesh, iters: int = 8, damping: float = 1e
         b_cam = Jcam.T @ rcam
 
         Hred, bred, wl, Hcl, bl = _visual_schur_local(
-            state, tracks_shard, inp.td_obs, nx,
+            state, tracks_shard, inp.td_obs, nx, layout.ex_cam, layout.td,
             jnp.asarray(sqrt_info, state.dtype), jnp.asarray(cdelta, state.dtype),
         )
         mask = inp.free_mask[:nx]
