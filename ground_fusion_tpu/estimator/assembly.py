@@ -67,12 +67,16 @@ def rows_to_dense(J_block: jax.Array, col_idx: jax.Array, r: jax.Array,
     indices ``[B, n]`` into dense rows ``[B·r, total]``; invalid factors zero.
     """
     b, rr, n = J_block.shape
-    w = row_valid.astype(J_block.dtype)
+    # where-based masking, NOT multiply: a masked-out factor may carry NaN/inf
+    # payloads (e.g. padded observations) and 0·NaN would poison the system
+    ok = row_valid[:, None, None]
+    Jm = jnp.where(ok, J_block, 0.0)
+    rm = jnp.where(row_valid[:, None], r, 0.0)
     Jd = jnp.zeros((b, rr, total), J_block.dtype)
     Jd = Jd.at[
         jnp.arange(b)[:, None, None], jnp.arange(rr)[None, :, None], col_idx[:, None, :]
-    ].set(J_block * w[:, None, None])
-    return Jd.reshape(b * rr, total), (r * w[:, None]).reshape(-1)
+    ].set(Jm)
+    return Jd.reshape(b * rr, total), rm.reshape(-1)
 
 
 # ---------------------------------------------------------------------------

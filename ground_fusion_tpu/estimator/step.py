@@ -55,6 +55,8 @@ class StepFlags(NamedTuple):
     td_obs: jax.Array          # [F] td at capture per frame
     gnss_ready: jax.Array | None = None   # [] bool — GNSS-VI aligned
     frame_dts: jax.Array | None = None    # [F] Δt between adjacent frames
+    fix_yaw_enu: jax.Array | None = None  # [] bool — low-speed yaw freeze
+                                          # (estimator.cpp:2904-2930)
 
 
 class EstimatorCore(NamedTuple):
@@ -111,6 +113,10 @@ def make_window_step(cfg: Config):
         frame_free = jnp.where(flags.stationary, 0.0, 1.0).astype(dtype)
         free_mask = jnp.asarray(base_mask, dtype)
         free_mask = free_mask.at[: PER_FRAME * f].multiply(frame_free)
+        if cfg.gnss.enabled and flags.fix_yaw_enu is not None:
+            free_mask = free_mask.at[layout.yaw_enu].multiply(
+                jnp.where(flags.fix_yaw_enu, 0.0, 1.0).astype(dtype)
+            )
 
         imu_pre = preintegrate_imu_window(core.imu_buf, state.sbs, n18)
         wheel_pre = preintegrate_wheel_window(

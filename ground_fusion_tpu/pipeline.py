@@ -33,6 +33,8 @@ from .estimator.initialization import (
 )
 from .estimator.step import EstimatorCore, StepFlags, make_window_step
 from .estimator.window import empty_state, empty_tracks
+from .gnss.factors import GnssObsWindow, empty_gnss_obs
+from .gnss.ingest import GnssIngest
 from .geometry.se3 import pose as make_pose, pose_compose, pose_inverse
 from .geometry.so3 import mat_to_quat, quat_mul, quat_normalize, quat_rotate, quat_to_mat
 from .preintegration.imu import noise_cov
@@ -70,7 +72,12 @@ class Estimator:
             imu_buf=empty_imu_buffer(f, cfg.solver.max_imu_per_interval, dtype),
             wheel_buf=empty_wheel_buffer(f, cfg.solver.max_wheel_per_interval, dtype),
             prior=empty_prior(self.layout, f, dtype),
+            gnss_obs=(empty_gnss_obs(f, cfg.gnss.max_sats, dtype)
+                      if cfg.gnss.enabled else None),
         )
+        self.gnss = GnssIngest(cfg) if cfg.gnss.enabled else None
+        self.gnss_aligned = False
+        self._pending_gnss: Optional[list] = None
         self.solver_flag = self.INITIAL
         self.frame_count = 0              # frames currently occupied (fill phase)
         self.ts: list[float] = []
@@ -94,6 +101,13 @@ class Estimator:
 
     def input_wheel(self, t: float, vel, gyr) -> None:
         self.wheel_q.append((t, np.asarray(vel, np.float64), np.asarray(gyr, np.float64)))
+
+    def input_gnss(self, t: float, obs_list: list[dict]) -> None:
+        """One GNSS epoch (list of per-satellite obs dicts, see
+        gnss.ingest). Attached to the next camera frame (the reference's
+        time-pulse sync, rosNodeTest.cpp GNSS callbacks)."""
+        if self.gnss is not None:
+            self._pending_gnss = obs_list
 
     # ------------------------------------------------------- interval building
 
@@ -354,14 +368,112 @@ class Estimator:
         self._assign_slots(feats, f - 1)
         return self._run_step(marg_old=is_keyframe)
 
+    def _attach_gnss_epoch(self):
+        """Gate + store the pending epoch into the window table at the slot
+        referencing the newest frame (slot F-2, ratio 0 → pure pose[F-1])."""
+        if self.gnss is None or self._pending_gnss is None:
+            return
+        obs = self.gnss.process_epoch(
+            self._pending_gnss, self.gnss_aligned,
+            np.asarray(self.core.state.anc_ecef) if self.gnss_aligned else None,
+        )
+        self._pending_gnss = None
+        if not obs or self.core.gnss_obs is None:
+            return
+        for o in obs:
+            o["ratio"] = 0.0
+        anc = np.asarray(self.core.state.anc_ecef)
+        slot = self.gnss.build_slot(obs, anc if self.gnss_aligned else None,
+                                    p_local_ecef=anc if self.gnss_aligned else
+                                    np.asarray(obs[0]["sat_pos"]) * 0.0)
+        g = self.core.gnss_obs
+        f = self.f
+        upd = {}
+        for k, v in slot.items():
+            arr = getattr(g, k)
+            upd[k] = arr.at[f - 2].set(jnp.asarray(v, arr.dtype))
+        self.core = self.core._replace(gnss_obs=g._replace(**upd))
+
+    def _try_gnss_align(self):
+        """GNSSVIAlign trigger (estimator.cpp:1928-2043): once NON_LINEAR
+        with enough filtered epochs, run coarse SPP + yaw GN + anchor
+        refinement and install the result into the state."""
+        if self.gnss is None or self.gnss_aligned:
+            return
+        epochs = [e for e in self.gnss.epochs if len(e) >= 4]
+        if len(epochs) < 5:
+            return
+        from .gnss.align import gnss_vi_align
+
+        st = self.core.state
+        n = min(len(self.gnss.epochs), self.f)
+        local_pos = np.asarray(st.poses[-n:, 0:3])
+        local_vel = np.asarray(st.sbs[-n:, 0:3])
+        eps = self.gnss.epochs[-n:]
+        anc, yaw, rcv_dt, ok = gnss_vi_align(
+            local_pos, local_vel, eps, min_speed=self.cfg.gnss.low_speed_yaw_fix
+        )
+        if not ok:
+            return
+        self.core = self.core._replace(state=st._replace(
+            anc_ecef=jnp.asarray(anc, self.dtype),
+            yaw_enu=jnp.asarray(yaw, self.dtype),
+            rcv_dt=jnp.tile(jnp.asarray(rcv_dt, self.dtype), (self.f, 1)),
+        ))
+        self.gnss_aligned = True
+        self._refresh_gnss_atm(anc)
+
+    def _refresh_gnss_atm(self, anc):
+        """Pre-alignment slots were stored with zero atmospheric delay and
+        unit elevation weights (no position estimate existed); recompute them
+        at the now-known anchor — the reference recomputes atmosphere inside
+        every factor Evaluate (gnss_psr_dopp_factor.cpp:78-85), so stored
+        epochs must not keep the pre-alignment zeros."""
+        from .gnss.coords import ecef2geo, sat_azel
+        from .gnss.ephemeris import saastamoinen_tropo
+        from .gnss.factors import PSR_TO_DOPP_RATIO, RELATIVE_SQRT_INFO
+
+        g = self.core.gnss_obs
+        if g is None:
+            return
+        sat_pos = np.asarray(g.sat_pos)
+        valid = np.asarray(g.valid)
+        atm = np.asarray(g.atm_delay).copy()
+        prw = np.asarray(g.pr_weight).copy()
+        dpw = np.asarray(g.dp_weight).copy()
+        lla = ecef2geo(np.asarray(anc))
+        for k in range(valid.shape[0]):
+            for j in np.nonzero(valid[k])[0]:
+                az, el = sat_azel(np.asarray(anc), sat_pos[k, j])
+                atm[k, j] = saastamoinen_tropo(lla, el)
+                sin_el2 = np.sin(el) ** 2
+                # re-derive the URA part from the stored unit-elevation weight
+                base_pr = prw[k, j]
+                base_dp = dpw[k, j]
+                prw[k, j] = base_pr * sin_el2
+                dpw[k, j] = base_dp * sin_el2
+        self.core = self.core._replace(gnss_obs=g._replace(
+            atm_delay=jnp.asarray(atm, self.dtype),
+            pr_weight=jnp.asarray(prw, self.dtype),
+            dp_weight=jnp.asarray(dpw, self.dtype),
+        ))
+
     def _run_step(self, marg_old: bool):
         f = self.f
+        if self.gnss is not None:
+            self._attach_gnss_epoch()
+            self._try_gnss_align()
+        speed = float(np.linalg.norm(np.asarray(self.core.state.sbs[f - 1, 0:3])))
+        frame_dts = np.diff(np.asarray(self.ts, np.float64), prepend=self.ts[0])
         flags = StepFlags(
             marg_old=jnp.asarray(bool(marg_old)),
             stationary=jnp.asarray(False),
             wheel_valid=jnp.asarray(np.arange(f) >= 1),
             imu_valid=jnp.asarray(np.arange(f) >= 1),
             td_obs=jnp.zeros(f, self.dtype),
+            gnss_ready=jnp.asarray(self.gnss_aligned),
+            frame_dts=jnp.asarray(frame_dts[:f], self.dtype),
+            fix_yaw_enu=jnp.asarray(speed < self.cfg.gnss.low_speed_yaw_fix),
         )
         core_new, out = self.step_fn(self.core, flags)
         self.core = core_new

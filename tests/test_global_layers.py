@@ -173,3 +173,41 @@ def test_optimize_4dof_corrects_drift():
     end_err_after = np.linalg.norm(np.asarray(ts2)[-1] - ts_gt[-1])
     assert end_err_after < 0.2 * end_err_before
     assert end_err_after < 0.5
+
+
+def test_global_fusion_gps_priors():
+    """GlobalFusion: drifted VIO chain + GPS priors → globally-aligned path
+    and a consistent WGPS_T_WVIO update (globalOpt.cpp semantics)."""
+    from ground_fusion_tpu.global_layers.global_fusion import GlobalFusion
+    from ground_fusion_tpu.geometry.so3 import mat_to_quat, ypr_to_mat
+
+    gf = GlobalFusion()
+    n = 40
+    rng = np.random.default_rng(0)
+    # true straight path east at 1 m/s; VIO drifts in yaw
+    for k in range(n):
+        t = float(k)
+        yaw_d = 0.004 * k
+        Rk = np.asarray(ypr_to_mat(jnp.asarray([yaw_d, 0.0, 0.0], jnp.float64)))
+        # drifted VIO position
+        if k == 0:
+            p = np.zeros(3)
+        else:
+            prev = gf.vio_poses[-1][0:3]
+            d = np.array([np.cos(yaw_d), np.sin(yaw_d), 0.0])
+            p = prev + d
+        pose = np.concatenate([p, np.asarray(mat_to_quat(jnp.asarray(Rk)))])
+        gf.input_odom(t, pose)
+        # GPS at true position (east = x) every 2nd step, 10 cm accuracy
+        if k % 2 == 0:
+            lat0, lon0 = 31.0, 121.4
+            east = float(k)
+            lat = lat0
+            lon = lon0 + np.rad2deg(east / (6378137.0 * np.cos(np.deg2rad(lat0))))
+            gf.input_gps(t, lat, lon, 10.0, 0.1)
+    gf.optimize(iters=8)
+    final = gf.global_poses[-1][0:3]
+    err_before = np.linalg.norm(np.stack(gf.vio_poses)[-1][0:3] - np.array([n - 1, 0, 0]))
+    err_after = np.linalg.norm(final - np.array([n - 1.0, 0.0, 0.0]))
+    assert err_after < 0.35, f"global error {err_after:.3f} (vio drift was {err_before:.3f})"
+    assert err_after < 0.3 * err_before

@@ -83,3 +83,139 @@ def test_e2e_vio_wheel_ate_noisy():
     gt_xyz = np.stack([gt[t][0:3] for t, _ in est.trajectory])
     ate = ate_rmse(est_xyz, gt_xyz)
     assert ate < 0.15, f"ATE {ate:.4f} m with 1.5px noise"
+
+
+@pytest.mark.slow
+def test_e2e_vio_wheel_gnss():
+    """GNSS-enabled E2E: synthetic satellites + pseudorange/Doppler epochs;
+    the pipeline must align (yaw/anchor) and keep ATE low with the GNSS
+    factor stack active."""
+    import dataclasses
+
+    from ground_fusion_tpu.gnss.coords import (
+        EARTH_OMG, LIGHT_SPEED, ecef2geo, ecef2rotation, enu2ecef, geo2ecef,
+        sat_azel,
+    )
+    from ground_fusion_tpu.gnss.ephemeris import saastamoinen_tropo
+    from ground_fusion_tpu.sim.synthetic import gt_velocity
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, gnss=dataclasses.replace(cfg.gnss, enabled=True, track_num_thresh=1)
+    )
+    sp = SimParams()
+    est = Estimator(cfg, dtype=DT)
+    ex = body_T_cam(DT)
+    pts_w = jnp.asarray(make_landmarks(200, sp, seed=1), DT)
+
+    # GNSS world: anchor + ENU-local yaw
+    anc_true = geo2ecef(np.array([np.deg2rad(31.0), np.deg2rad(121.4), 12.0]))
+    yaw_true = 0.25
+    R_el = ecef2rotation(anc_true)
+    cy, sy = np.cos(yaw_true), np.sin(yaw_true)
+    R = R_el @ np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1.0]])
+    rng = np.random.default_rng(3)
+    sats = []
+    for k in range(10):
+        az = rng.uniform(0, 2 * np.pi)
+        el = rng.uniform(np.deg2rad(35), np.deg2rad(80))
+        sats.append(enu2ecef(anc_true, 2.2e7 * np.array(
+            [np.cos(el) * np.sin(az), np.cos(el) * np.cos(az), np.sin(el)])))
+    sats = np.stack(sats)
+    sat_vel = rng.normal(0, 2500, (10, 3))
+    dt_true = np.array([15.0, 0.0, 0.0, 22.0])
+    ddt_true = 4.0
+
+    # NOTE: the local world of the estimator differs from the sim GT frame by
+    # the init gauge (first pose at origin). The GNSS epochs must be generated
+    # in the TRUE physical frame: P_ecef from the sim GT pose mapped through
+    # (anc_true, yaw_true) ∘ T_gt0⁻¹ so that frame 0 sits at the local origin.
+    from ground_fusion_tpu.geometry.se3 import pose_compose, pose_inverse, pose_apply
+
+    T0_inv = pose_inverse(gt_pose7(0.0, sp))
+
+    def epoch_for(t):
+        Tk = gt_pose7(t, sp)
+        p_local = np.asarray(pose_apply(T0_inv, Tk[0:3]))
+        # velocity in the local frame
+        v_world = np.asarray(gt_velocity(t, sp))
+        from ground_fusion_tpu.geometry.so3 import quat_to_mat
+        R0 = np.asarray(quat_to_mat(T0_inv[3:7]))
+        v_local = R0 @ v_world
+        P = anc_true + R @ p_local
+        V = R @ v_local
+        obs = []
+        for j in range(10):
+            sp_, sv = sats[j], sat_vel[j]
+            rng_vec = sp_ - P
+            rngn = np.linalg.norm(rng_vec)
+            unit = rng_vec / rngn
+            sagnac = EARTH_OMG * (sp_[0] * P[1] - sp_[1] * P[0]) / LIGHT_SPEED
+            sys = (j % 2) * 3
+            # real pseudoranges carry tropospheric delay — generate it with
+            # the same model the factor subtracts so the full path is tested
+            _, el = sat_azel(P, sp_)
+            tropo = saastamoinen_tropo(ecef2geo(P), el)
+            d_sagnac = EARTH_OMG / LIGHT_SPEED * (
+                sv[0] * P[1] + sp_[0] * V[1] - sv[1] * P[0] - sp_[1] * V[0])
+            dopp_est = np.dot(sv - V, unit) + d_sagnac + ddt_true
+            obs.append(dict(
+                sat=j, sys=sys, sat_pos=sp_, sat_vel=sv,
+                psr=rngn + sagnac + dt_true[sys] + tropo, dopp_wl=-dopp_est,
+                dopp=-dopp_est, svdt=0.0, svddt=0.0, tgd=0.0,
+                psr_std=0.1, dopp_std=0.1, ura=2.0,
+            ))
+        return obs
+
+    frame_dt = 1.0 / sp.frame_rate
+    imu_dt = 1.0 / sp.imu_rate
+    wheel_dt = 1.0 / sp.wheel_rate
+    t0 = 0.0
+    a, g = np.asarray(imu_sample(t0, sp), dtype=np.float64)
+    est.input_imu(t0, a, g)
+    v, wg = np.asarray(wheel_sample(t0, sp), dtype=np.float64)
+    est.input_wheel(t0, v, wg)
+
+    gt = {}
+    for k in range(30):
+        t = t0 + k * frame_dt
+        if k > 0:
+            tp = t - frame_dt
+            for ti in np.arange(tp + imu_dt, t + 0.5 * imu_dt, imu_dt):
+                a, g = np.asarray(imu_sample(ti, sp), dtype=np.float64)
+                est.input_imu(float(ti), a, g)
+            for ti in np.arange(tp + wheel_dt, t + 0.5 * wheel_dt, wheel_dt):
+                v, wg = np.asarray(wheel_sample(ti, sp), dtype=np.float64)
+                est.input_wheel(float(ti), v, wg)
+        est.input_gnss(t, epoch_for(t))
+        uv, z, vis = project_landmarks(gt_pose7(t, sp), ex, pts_w)
+        uv, z, vis = np.asarray(uv), np.asarray(z), np.asarray(vis)
+        feats = {
+            int(i): FrameFeature(x=float(uv[i, 0]), y=float(uv[i, 1]),
+                                 depth=float(z[i]))
+            for i in np.nonzero(vis)[0]
+        }
+        est.input_frame(t, feats)
+        gt[t] = np.asarray(gt_pose7(t, sp))
+
+    assert est.gnss_aligned, "GNSS-VI alignment never triggered"
+    assert len(est.trajectory) >= 15
+    est_xyz = np.stack([p[0:3] for _, p in est.trajectory])
+    gt_xyz = np.stack([gt[t][0:3] for t, _ in est.trajectory])
+    ate = ate_rmse(est_xyz, gt_xyz)
+    assert ate < 0.1, f"ATE {ate:.4f} m with GNSS enabled"
+    # the REAL global-frame check: estimator (anchor, yaw_enu, local pose)
+    # must map the newest pose to the true ECEF position — yaw_enu itself
+    # absorbs whatever local gauge the init picked, so compare in ECEF
+    yaw_est = float(np.asarray(est.core.state.yaw_enu))
+    anc_est = np.asarray(est.core.state.anc_ecef)
+    cye, sye = np.cos(yaw_est), np.sin(yaw_est)
+    R_est = ecef2rotation(anc_est) @ np.array(
+        [[cye, -sye, 0], [sye, cye, 0], [0, 0, 1.0]])
+    t_last, p_last = est.trajectory[-1]
+    p_ecef_est = anc_est + R_est @ p_last[0:3]
+    Tk = gt_pose7(t_last, sp)
+    p_local_true = np.asarray(pose_apply(T0_inv, Tk[0:3]))
+    p_ecef_true = anc_true + R @ p_local_true
+    ecef_err = np.linalg.norm(p_ecef_est - p_ecef_true)
+    assert ecef_err < 1.0, f"ECEF position error {ecef_err:.2f} m"
