@@ -175,6 +175,8 @@ class Config:
     use_depth: bool = False           # RGBD depth-aided triangulation
     use_line: bool = False
     use_yolo: bool = False
+    use_mcc: bool = False             # movingConsistencyCheck outlier gate
+    wdetect: bool = True              # wheel anomaly detection
     stationary_detect: bool = True
     output_path: str = "output"
 

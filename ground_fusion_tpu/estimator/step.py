@@ -129,6 +129,12 @@ def make_window_step(cfg: Config):
 
         tracks = triangulate_all(state, tracks, depth_max=cfg.tracker.depth_max)
 
+        if cfg.use_mcc:
+            from .gates import moving_consistency_check, remove_outliers
+
+            bad = moving_consistency_check(state, tracks, focal=cfg.solver.focal)
+            tracks = remove_outliers(tracks, bad)
+
         use_gnss = cfg.gnss.enabled and core.gnss_obs is not None
         inp = SolveInputs(
             imu_pre=imu_pre,

@@ -233,6 +233,14 @@ class Estimator:
         """Process one synchronized camera frame's features. Returns the
         newest optimized pose [7] once the estimator is running."""
         is_keyframe = self._keyframe_decision(feats)
+        # parallax snapshot BEFORE the previous-frame map is replaced —
+        # the stationarity detector needs last->current motion
+        tracked = [fid for fid in feats if fid in self._prev_feats]
+        self._last_parallax = np.array([
+            np.hypot(feats[f2].x - self._prev_feats[f2].x,
+                     feats[f2].y - self._prev_feats[f2].y)
+            for f2 in tracked
+        ])
         self._prev_feats = feats
 
         if self.solver_flag == self.INITIAL:
@@ -366,7 +374,102 @@ class Estimator:
             self.ts.pop(0)
         self._write_interval(f - 1, iv, wv)
         self._assign_slots(feats, f - 1)
-        return self._run_step(marg_old=is_keyframe)
+        self._update_gates(iv, wv, feats)
+        out = self._run_step(marg_old=is_keyframe)
+        self._check_failure()
+        return out
+
+    def _update_gates(self, iv, wv, feats):
+        """Per-frame anomaly/stationarity detection over the newest interval
+        (estimator.cpp:629-654, 870-896): dead-reckoned ΔP from wheel vs IMU,
+        accel variance, visual parallax; 2-of-3 stationary vote."""
+        from .estimator.gates import (
+            imu_stationary, visual_stationary, wheel_anomaly, wheel_stationary,
+        )
+
+        from .geometry.so3 import quat_mul, quat_normalize, quat_to_mat
+
+        cfg = self.cfg
+        d_i, a_i, g_i, v_i, a0, g0 = iv
+        d_w, vel_w, g_w, v_w, v0, gw0 = wv
+        sb = np.asarray(self.core.state.sbs[self.f - 1])
+        ba, bg = sb[3:6], sb[6:9]
+
+        # wheel dead-reckoned ΔP (interval-start body frame, gyro-rotated)
+        q = np.array([1.0, 0, 0, 0])
+        dp_wheel = np.zeros(3)
+        for k in np.nonzero(v_w)[0]:
+            Rloc = np.asarray(quat_to_mat(np.asarray(q)))
+            dp_wheel += Rloc @ (vel_w[k] * d_w[k])
+            dq = np.concatenate([[1.0], 0.5 * (g_w[k] - bg) * d_w[k]])
+            q = np.asarray(quat_normalize(quat_mul(np.asarray(q), np.asarray(dq))))
+
+        # IMU dead-reckoned ΔP (same frame, rotating attitude — the
+        # fastPredict-style comparison of estimator.cpp:614-636)
+        Rw = np.asarray(quat_to_mat(self.core.state.poses[self.f - 1, 3:7]))
+        g_body0 = Rw.T @ np.array([0.0, 0.0, cfg.imu.g_norm])
+        v_body = Rw.T @ sb[0:3]
+        q = np.array([1.0, 0, 0, 0])
+        dp_imu = np.zeros(3)
+        vv = v_body.copy()
+        for k in np.nonzero(v_i)[0]:
+            Rloc = np.asarray(quat_to_mat(np.asarray(q)))
+            acc_lin = Rloc @ (a_i[k] - ba) - g_body0
+            dp_imu += vv * d_i[k] + 0.5 * acc_lin * d_i[k] ** 2
+            vv = vv + acc_lin * d_i[k]
+            dq = np.concatenate([[1.0], 0.5 * (g_i[k] - bg) * d_i[k]])
+            q = np.asarray(quat_normalize(quat_mul(np.asarray(q), np.asarray(dq))))
+
+        self._wheel_anomaly = bool(
+            cfg.wdetect
+            and wheel_anomaly(dp_wheel, dp_imu, cfg.wheel.anomaly_thresh)
+        )
+        # parallax snapshot taken in input_frame BEFORE _prev_feats updated
+        par = getattr(self, "_last_parallax", np.zeros(0))
+        votes = (
+            int(imu_stationary(a_i[v_i], cfg.init.stationary_acc_var))
+            + int(visual_stationary(par, cfg.solver.focal,
+                                    cfg.init.stationary_parallax))
+            + int(wheel_stationary(dp_wheel, cfg.init.wheel_stationary_dp))
+        )
+        self._stationary = bool(cfg.stationary_detect and votes >= 2)
+
+    def _check_failure(self):
+        """failureDetection → clearState reboot (estimator.cpp:1140-1148,
+        2847-2888): exploding bias norms restart the estimator from the
+        initialization phase, keeping the sensor queues."""
+        from .estimator.gates import failure_detection
+
+        if failure_detection(np.asarray(self.core.state.sbs)):
+            self.reboot()
+
+    def reboot(self):
+        """clearState + setParameter equivalent: reset window state, tracks,
+        prior and mode; sensor queues and tracker ids survive (the reference
+        keeps subscriptions alive and re-enters INITIAL)."""
+        from .estimator.assembly import empty_prior
+        from .estimator.window import empty_state, empty_tracks
+        from .gnss.factors import empty_gnss_obs
+
+        cfg = self.cfg
+        f, ml = self.f, cfg.solver.max_landmarks
+        self.core = EstimatorCore(
+            state=empty_state(f, self.dtype),
+            tracks=empty_tracks(ml, f, self.dtype),
+            imu_buf=empty_imu_buffer(f, cfg.solver.max_imu_per_interval, self.dtype),
+            wheel_buf=empty_wheel_buffer(f, cfg.solver.max_wheel_per_interval, self.dtype),
+            prior=empty_prior(self.layout, f, self.dtype),
+            gnss_obs=(empty_gnss_obs(f, cfg.gnss.max_sats, self.dtype)
+                      if cfg.gnss.enabled else None),
+        )
+        self.solver_flag = self.INITIAL
+        self.frame_count = 0
+        self.ts = []
+        self.slot_of = {}
+        self.free_slots = list(range(ml))
+        self.all_imu_window = []
+        self.gnss_aligned = False
+        self.reboots = getattr(self, "reboots", 0) + 1
 
     def _attach_gnss_epoch(self):
         """Gate + store the pending epoch into the window table at the slot
@@ -465,10 +568,14 @@ class Estimator:
             self._try_gnss_align()
         speed = float(np.linalg.norm(np.asarray(self.core.state.sbs[f - 1, 0:3])))
         frame_dts = np.diff(np.asarray(self.ts, np.float64), prepend=self.ts[0])
+        wheel_valid = np.arange(f) >= 1
+        if getattr(self, "_wheel_anomaly", False):
+            wheel_valid = wheel_valid.copy()
+            wheel_valid[f - 1] = False      # skip the anomalous interval
         flags = StepFlags(
             marg_old=jnp.asarray(bool(marg_old)),
-            stationary=jnp.asarray(False),
-            wheel_valid=jnp.asarray(np.arange(f) >= 1),
+            stationary=jnp.asarray(bool(getattr(self, "_stationary", False))),
+            wheel_valid=jnp.asarray(wheel_valid),
             imu_valid=jnp.asarray(np.arange(f) >= 1),
             td_obs=jnp.zeros(f, self.dtype),
             gnss_ready=jnp.asarray(self.gnss_aligned),
