@@ -1,0 +1,64 @@
+"""CLI entry: run the full system on a converted sequence directory.
+
+    python -m ground_fusion_tpu <config.yaml> <sequence_dir> [out_dir]
+
+The ``rosrun vins vins_node config.yaml`` + ``rosbag play`` analog
+(README.md:146-161) for the file-driven dataset layout of
+:mod:`ground_fusion_tpu.io.dataset`."""
+
+from __future__ import annotations
+
+import sys
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) < 2:
+        print(__doc__)
+        return 2
+    cfg_path, seq_dir = argv[0], argv[1]
+    out_dir = argv[2] if len(argv) > 2 else "output"
+
+    from .config import load_yaml
+    from .io.dataset import Sequence, load_image
+    from .system import GroundFusionSystem
+
+    cfg = load_yaml(cfg_path)
+    seq = Sequence.load(seq_dir)
+    sys_ = GroundFusionSystem(cfg, out_dir)
+
+    imu_i = wheel_i = 0
+    for k, (t, img_path, dep_path) in enumerate(seq.frames):
+        while imu_i < len(seq.imu) and seq.imu[imu_i, 0] <= t:
+            row = seq.imu[imu_i]
+            sys_.input_imu(row[0], row[1:4], row[4:7])
+            imu_i += 1
+        if seq.wheel is not None:
+            while wheel_i < len(seq.wheel) and seq.wheel[wheel_i, 0] <= t:
+                row = seq.wheel[wheel_i]
+                sys_.input_wheel(row[0], row[1:4], row[4:7])
+                wheel_i += 1
+        img = load_image(img_path)
+        depth = load_image(dep_path) if dep_path else None
+        pose = sys_.input_image(t, img, depth)
+        if pose is not None and k % 10 == 0:
+            print(f"frame {k}/{len(seq.frames)}  t={t:.2f}  "
+                  f"p=[{pose[0]:.2f},{pose[1]:.2f},{pose[2]:.2f}]")
+    out = sys_.finish()
+    print(f"trajectory written to {out}")
+    if seq.gt is not None:
+        import numpy as np
+
+        from .utils.evaluate import ate_rmse
+
+        est = np.loadtxt(out)
+        if len(est):
+            gt_interp = np.stack([
+                np.interp(est[:, 0], seq.gt[:, 0], seq.gt[:, i]) for i in (1, 2, 3)
+            ], -1)
+            print(f"ATE RMSE vs gt: {ate_rmse(est[:, 1:4], gt_interp):.4f} m")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

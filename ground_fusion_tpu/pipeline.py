@@ -76,6 +76,14 @@ class Estimator:
                       if cfg.gnss.enabled else None),
         )
         self.gnss = GnssIngest(cfg) if cfg.gnss.enabled else None
+        # native C++ ring-buffer ingest when built (scripts/build_native.py);
+        # silently falls back to the Python queues otherwise
+        try:
+            from .native import NativeIngest
+
+            self.native = NativeIngest()
+        except Exception:
+            self.native = None
         self.gnss_aligned = False
         self._pending_gnss: Optional[list] = None
         self.solver_flag = self.INITIAL
@@ -97,10 +105,16 @@ class Estimator:
     # ------------------------------------------------------------------ ingest
 
     def input_imu(self, t: float, acc, gyr) -> None:
-        self.imu_q.append((t, np.asarray(acc, np.float64), np.asarray(gyr, np.float64)))
+        if self.native is not None:
+            self.native.push_imu(t, acc, gyr)
+        else:
+            self.imu_q.append((t, np.asarray(acc, np.float64), np.asarray(gyr, np.float64)))
 
     def input_wheel(self, t: float, vel, gyr) -> None:
-        self.wheel_q.append((t, np.asarray(vel, np.float64), np.asarray(gyr, np.float64)))
+        if self.native is not None:
+            self.native.push_wheel(t, vel, gyr)
+        else:
+            self.wheel_q.append((t, np.asarray(vel, np.float64), np.asarray(gyr, np.float64)))
 
     def input_gnss(self, t: float, obs_list: list[dict]) -> None:
         """One GNSS epoch (list of per-satellite obs dicts, see
@@ -114,6 +128,16 @@ class Estimator:
     def _drain_interval(self, t1: float):
         """Pop queued samples up to t1 into padded interval arrays."""
         cfg = self.cfg
+        if self.native is not None:
+            t_prev = self.ts[-1] if self.ts else t1 - 10.0
+            iv = self.native.drain_imu(t_prev, t1, cfg.solver.max_imu_per_interval)
+            wv = self.native.drain_wheel(t_prev, t1, cfg.solver.max_wheel_per_interval)
+            self.all_imu_window.append(
+                [(0.0, a, g) for a, g in zip(iv[1][iv[3]], iv[2][iv[3]])]
+            )
+            if len(self.all_imu_window) > self.f:
+                self.all_imu_window.pop(0)
+            return iv, wv
         imu = [s for s in self.imu_q if s[0] <= t1 + 1e-9]
         self.imu_q = [s for s in self.imu_q if s[0] > t1 + 1e-9]
         wheel = [s for s in self.wheel_q if s[0] <= t1 + 1e-9]

@@ -1,0 +1,218 @@
+"""Full-system orchestration: tracker + estimator + loop closure + mapping.
+
+The one-object equivalent of the reference's four ROS processes
+(``vins_node`` + ``dense_map_node`` + ``global_fusion_node`` + ``darknet_ros``
+— SURVEY §1 L0/L5): images go through the KLT front-end (with optional
+dynamic-object culling), features into the sliding-window estimator, keyframes
+into the BoW/pose-graph loop closure and the dense voxel map, odometry into
+the GPS fusion layer. Everything is in-process — module-to-module calls
+replace ROS pub/sub (SURVEY §2 parallelism table).
+
+Run from a dataset directory::
+
+    python -m ground_fusion_tpu <config.yaml> <sequence_dir> [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from .cameras.models import PinholeParams
+from .config import Config
+from .pipeline import Estimator
+from .utils.outputs import CalibrationDump, DeadReckoningPaths
+from .utils.profiling import StageStats
+
+
+class GroundFusionSystem:
+    def __init__(self, cfg: Config, out_dir: str = "output"):
+        self.cfg = cfg
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.estimator = Estimator(cfg)
+
+        cam = PinholeParams.make(cfg.camera.fx, cfg.camera.fy, cfg.camera.cx,
+                                 cfg.camera.cy, *cfg.camera.distortion[:4])
+        from .frontend.tracker import FeatureTracker
+
+        self.tracker = FeatureTracker(
+            cam, max_cnt=cfg.tracker.max_features,
+            min_dist=int(cfg.tracker.min_dist_px),
+            levels=cfg.tracker.pyramid_levels, half=cfg.tracker.patch_half,
+            iters=cfg.tracker.lk_iters,
+        )
+        self.cam = cam
+
+        self.detector_params = None
+        if cfg.use_yolo:
+            from .detector.model import init_params, load_npz
+
+            wpath = os.path.join(out_dir, "detector.npz")
+            import jax
+
+            self.detector_params = (load_npz(wpath) if os.path.exists(wpath)
+                                    else init_params(jax.random.PRNGKey(0)))
+
+        self.pose_graph = None
+        if cfg.loop.enabled:
+            from .global_layers.pose_graph import PoseGraph
+
+            self.pose_graph = PoseGraph(cfg, cam_focal=cfg.camera.fx)
+            self._kf_index = 0
+
+        self.voxel_map = None
+        if cfg.map.enabled:
+            from .global_layers.dense_map import VoxelColorMap
+
+            self.voxel_map = VoxelColorMap(voxel_size=cfg.map.voxel_size)
+
+        self.global_fusion = None
+        self.stats = StageStats()
+        self.calib_dump = CalibrationDump(out_dir)
+        self.dead_reckoning = DeadReckoningPaths()
+
+    # --------------------------------------------------------------- sensors
+
+    def input_imu(self, t, acc, gyr):
+        self.estimator.input_imu(t, acc, gyr)
+
+    def input_wheel(self, t, vel, gyr):
+        self.estimator.input_wheel(t, vel, gyr)
+
+    def input_gnss(self, t, obs):
+        self.estimator.input_gnss(t, obs)
+
+    def input_gps_fix(self, t, lat, lon, alt, acc):
+        """NavSatFix path → global fusion layer (globalOptNode.cpp)."""
+        if self.global_fusion is None:
+            from .global_layers.global_fusion import GlobalFusion
+
+            self.global_fusion = GlobalFusion()
+        self.global_fusion.input_gps(t, lat, lon, alt, acc)
+
+    def input_image(self, t, img: np.ndarray, depth: Optional[np.ndarray] = None
+                    ) -> Optional[np.ndarray]:
+        """One synchronized camera frame end-to-end."""
+        with self.stats.time("track"):
+            feats = self.tracker.track(t, img, depth)
+
+        if self.detector_params is not None and len(self.tracker.prev_pts):
+            from .detector.model import cull_features_in_boxes, detect
+            import jax.numpy as jnp
+
+            boxes, scores, classes, valid = detect(self.detector_params,
+                                                   jnp.asarray(img, jnp.float32))
+            keep = np.asarray(cull_features_in_boxes(
+                jnp.asarray(self.tracker.prev_pts), boxes, classes, valid))
+            feats = {fid: f for (fid, f), k in zip(feats.items(), keep) if k}
+
+        with self.stats.time("solve"):
+            pose = self.estimator.input_frame(t, feats)
+
+        if pose is not None:
+            self.calib_dump.append(t, self.estimator.core.state)
+            if self.global_fusion is not None:
+                self.global_fusion.input_odom(t, pose)
+            if self.pose_graph is not None and self.estimator.keyframe_flags \
+                    and self.estimator.keyframe_flags[-1]:
+                self._add_loop_keyframe(t, img, pose)
+            if self.voxel_map is not None and depth is not None:
+                self._map_keyframe(pose, img, depth)
+        return pose
+
+    # ------------------------------------------------------------ keyframes
+
+    def _add_loop_keyframe(self, t, img, pose):
+        from .global_layers.pose_graph import Keyframe
+
+        est = self.estimator
+        tr = est.core.tracks
+        active = np.asarray(tr.active) & np.asarray(tr.solve_ok)
+        sf = np.asarray(tr.start_frame)
+        inv_d = np.asarray(tr.inv_depth)
+        obs = np.asarray(tr.obs)
+        # window landmarks in world (from anchor obs + depth)
+        import jax.numpy as jnp
+
+        from .geometry.se3 import pose_apply, pose_compose
+
+        cams = pose_compose(est.core.state.poses, est.core.state.ex_cam[None, :])
+        pts3d, norm2d, ok = [], [], []
+        newest = est.f - 1
+        ov = np.asarray(tr.obs_valid)
+        for l in np.nonzero(active & ov[:, newest])[0]:
+            ray = np.array([obs[l, sf[l], 0], obs[l, sf[l], 1], 1.0])
+            p_w = np.asarray(pose_apply(cams[sf[l]], jnp.asarray(ray / max(inv_d[l], 1e-6))))
+            pts3d.append(p_w)
+            norm2d.append(obs[l, newest, 0:2])
+            ok.append(True)
+        if len(pts3d) < 8:
+            return
+        pts3d = np.stack(pts3d)
+        norm2d = np.stack(norm2d)
+        fx, fy = float(self.cam.fx), float(self.cam.fy)
+        cx, cy = float(self.cam.cx), float(self.cam.cy)
+        win_px = norm2d * np.array([fx, fy]) + np.array([cx, cy])
+
+        pts, okf, desc, win_desc = self.pose_graph.describe(img, win_px)
+        kp_norm = (pts - np.array([cx, cy])) / np.array([fx, fy])
+        kf = Keyframe(
+            index=self._kf_index, t=t, pose=np.asarray(pose),
+            kp=np.concatenate([pts, win_px]),
+            kp_norm=np.concatenate([kp_norm, norm2d]),
+            desc=np.concatenate([desc, win_desc]),
+            kp_ok=np.concatenate([np.asarray(okf), np.ones(len(win_desc), bool)]),
+            win_pts3d=pts3d, win_norm=norm2d, win_desc=win_desc,
+            win_ok=np.ones(len(pts3d), bool),
+        )
+        with self.stats.time("loop"):
+            self.pose_graph.add_keyframe(kf)
+            if len(self.pose_graph.loop_edges) > getattr(self, "_opt_edges", 0):
+                self.pose_graph.optimize()
+                self._opt_edges = len(self.pose_graph.loop_edges)
+        self._kf_index += 1
+
+    def _map_keyframe(self, pose, img, depth):
+        import jax.numpy as jnp
+
+        from .cameras.models import pinhole_lift_projective
+        from .geometry.se3 import pose_apply
+        from .global_layers.dense_map import sample_rgbd
+
+        color = np.stack([img] * 3, -1) if img.ndim == 2 else img
+        gx, gy, d, rgb, ok = sample_rgbd(
+            jnp.asarray(depth, jnp.float32), jnp.asarray(color, jnp.float32),
+            stride=self.cfg.map.depth_stride, boundary=self.cfg.map.depth_boundary,
+        )
+        uv = jnp.stack([gx, gy], -1).astype(jnp.float32)
+        rays = pinhole_lift_projective(self.cam, uv)
+        pts_cam = rays * d[:, None]
+        from .geometry.se3 import pose_compose
+
+        cam_pose = pose_compose(jnp.asarray(pose, jnp.float32),
+                                self.estimator.core.state.ex_cam)
+        pts_w = pose_apply(cam_pose, pts_cam)
+        with self.stats.time("map"):
+            self.voxel_map.insert(pts_w, rgb, ok)
+
+    # --------------------------------------------------------------- output
+
+    def finish(self):
+        est = self.estimator
+        est.write_tum(os.path.join(self.out_dir, "vio.txt"))
+        if self.pose_graph is not None:
+            self.pose_graph.write_tum(os.path.join(self.out_dir, "loop.txt"))
+        if self.global_fusion is not None:
+            self.global_fusion.write_tum(os.path.join(self.out_dir, "global.txt"))
+        if self.voxel_map is not None:
+            self.voxel_map.save_ply(os.path.join(self.out_dir, "map.ply"))
+        self.dead_reckoning.write_tum(
+            os.path.join(self.out_dir, "pure_imu.txt"),
+            os.path.join(self.out_dir, "pure_wheel.txt"),
+        )
+        with open(os.path.join(self.out_dir, "timing.txt"), "w") as fp:
+            fp.write(self.stats.report() + "\n")
+        return os.path.join(self.out_dir, "vio.txt")
