@@ -168,3 +168,111 @@ def mei_lift_projective(cam: MeiParams, uv: jax.Array, iters: int = 8) -> jax.Ar
     z = zs - xi
     ones = jnp.ones(z.shape + (1,), dtype=z.dtype)
     return jnp.concatenate([m * (zs / jnp.maximum(z, 1e-12))[..., None], ones], axis=-1)
+
+
+class PinholeFullParams(NamedTuple):
+    """PinholeFull: rational-polynomial distortion k1..k6 + tangential p1,p2
+    (camera_models/src/PinholeFullCamera.cc)."""
+
+    fx: jax.Array
+    fy: jax.Array
+    cx: jax.Array
+    cy: jax.Array
+    k1: jax.Array
+    k2: jax.Array
+    k3: jax.Array
+    k4: jax.Array
+    k5: jax.Array
+    k6: jax.Array
+    p1: jax.Array
+    p2: jax.Array
+
+    @staticmethod
+    def make(fx, fy, cx, cy, k1=0.0, k2=0.0, k3=0.0, k4=0.0, k5=0.0, k6=0.0,
+             p1=0.0, p2=0.0, dtype=jnp.float32):
+        return PinholeFullParams(*[jnp.asarray(v, dtype=dtype) for v in
+                                   (fx, fy, cx, cy, k1, k2, k3, k4, k5, k6, p1, p2)])
+
+
+def _rational_distort(cam: PinholeFullParams, xy: jax.Array) -> jax.Array:
+    x, y = xy[..., 0], xy[..., 1]
+    r2 = x * x + y * y
+    num = 1.0 + r2 * (cam.k1 + r2 * (cam.k2 + r2 * cam.k3))
+    den = 1.0 + r2 * (cam.k4 + r2 * (cam.k5 + r2 * cam.k6))
+    s = num / jnp.maximum(den, 1e-12)
+    xd = x * s + 2.0 * cam.p1 * x * y + cam.p2 * (r2 + 2.0 * x * x)
+    yd = y * s + cam.p1 * (r2 + 2.0 * y * y) + 2.0 * cam.p2 * x * y
+    return jnp.stack([xd, yd], axis=-1)
+
+
+def pinhole_full_space_to_plane(cam: PinholeFullParams, pts: jax.Array) -> jax.Array:
+    xy = pts[..., 0:2] / pts[..., 2:3]
+    d = _rational_distort(cam, xy)
+    u = cam.fx * d[..., 0] + cam.cx
+    v = cam.fy * d[..., 1] + cam.cy
+    return jnp.stack([u, v], axis=-1)
+
+
+def pinhole_full_lift_projective(cam: PinholeFullParams, uv: jax.Array,
+                                 iters: int = 10) -> jax.Array:
+    """Fixed-point undistortion of the rational model."""
+    mx = (uv[..., 0] - cam.cx) / cam.fx
+    my = (uv[..., 1] - cam.cy) / cam.fy
+    d = jnp.stack([mx, my], axis=-1)
+
+    def body(_, u):
+        return u + (d - _rational_distort(cam, u))
+
+    u = jax.lax.fori_loop(0, iters, body, d)
+    ones = jnp.ones(u.shape[:-1] + (1,), dtype=u.dtype)
+    return jnp.concatenate([u, ones], axis=-1)
+
+
+class ScaramuzzaParams(NamedTuple):
+    """Scaramuzza omnidirectional model (OCamCalib): cam2world polynomial
+    ``poly`` (deg 4), world2cam inverse polynomial ``inv_poly`` (deg N),
+    affine c,d,e + center (camera_models OCAMCamera)."""
+
+    poly: jax.Array       # [5]  a0..a4 (a1 = 0 by convention)
+    inv_poly: jax.Array   # [K]
+    c: jax.Array
+    d: jax.Array
+    e: jax.Array
+    cx: jax.Array
+    cy: jax.Array
+
+    @staticmethod
+    def make(poly, inv_poly, c=1.0, d=0.0, e=0.0, cx=0.0, cy=0.0, dtype=jnp.float32):
+        return ScaramuzzaParams(
+            jnp.asarray(poly, dtype), jnp.asarray(inv_poly, dtype),
+            *[jnp.asarray(v, dtype) for v in (c, d, e, cx, cy)],
+        )
+
+
+def scaramuzza_space_to_plane(cam: ScaramuzzaParams, pts: jax.Array) -> jax.Array:
+    """world2cam: theta (from optical axis) -> rho via inverse polynomial."""
+    norm = jnp.linalg.norm(pts[..., 0:2], axis=-1)
+    theta = jnp.arctan2(-pts[..., 2], jnp.maximum(norm, 1e-12))
+    rho = jnp.zeros_like(theta)
+    for k in range(cam.inv_poly.shape[0] - 1, -1, -1):
+        rho = rho * theta + cam.inv_poly[k]
+    u = pts[..., 0] / jnp.maximum(norm, 1e-12) * rho
+    v = pts[..., 1] / jnp.maximum(norm, 1e-12) * rho
+    x = u * cam.c + v * cam.d + cam.cx
+    y = u * cam.e + v + cam.cy
+    return jnp.stack([x, y], axis=-1)
+
+
+def scaramuzza_lift_projective(cam: ScaramuzzaParams, uv: jax.Array) -> jax.Array:
+    """cam2world: invert the affine, evaluate the forward polynomial -> ray."""
+    inv_det = 1.0 / jnp.maximum(cam.c - cam.d * cam.e, 1e-12)
+    xp = uv[..., 0] - cam.cx
+    yp = uv[..., 1] - cam.cy
+    u = inv_det * (xp - cam.d * (yp))
+    v = inv_det * (-cam.e * xp + cam.c * yp)
+    rho = jnp.sqrt(u * u + v * v)
+    z = jnp.zeros_like(rho)
+    for k in range(cam.poly.shape[0] - 1, -1, -1):
+        z = z * rho + cam.poly[k]
+    ray = jnp.stack([u, v, -z], axis=-1)   # -z: OCamCalib looks along -z
+    return ray / jnp.maximum(jnp.abs(ray[..., 2:3]), 1e-12) * jnp.sign(ray[..., 2:3])

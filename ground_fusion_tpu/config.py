@@ -63,6 +63,9 @@ class WheelConfig:
     # anomaly gate: |dP_wheel - dP_imu| threshold per frame interval
     # (estimator.cpp:629-636)
     anomaly_thresh: float = 0.02
+    # replace wheel yaw-rate with interpolated IMU gyro z (w_replace,
+    # rosNodeTest.cpp:93-156)
+    w_replace: bool = False
     rate_hz: float = 100.0
 
 

@@ -288,3 +288,97 @@ def assemble_rows(state: WindowState, tracks: Tracks, inp: SolveInputs,
 def normal_equations(J: jax.Array, r: jax.Array):
     """H = JᵀJ, g = Jᵀr — one matmul pair on the MXU."""
     return J.T @ J, J.T @ r
+
+
+def assemble_residuals(state: WindowState, tracks: Tracks, inp: SolveInputs,
+                       layout: StateLayout, sqrt_info_scale, cauchy_delta,
+                       plane_sqrt_info):
+    """Residual-only evaluation (no Jacobians, no dense scatter) — the cheap
+    cost probe for LM accept/reject; must match :func:`assemble_rows`'s
+    whitening + robust reweighting exactly."""
+    from ..preintegration.imu import ImuPreint  # noqa: F401  (doc aid)
+    from .factors import (
+        imu_residual_raw, plane_residual_raw, proj21_residual_raw,
+        sqrt_info_from_cov, wheel_residual_from_delta, wheel_corrected_delta,
+    )
+    from ..geometry.se3 import pose_boxplus  # noqa: F401
+
+    f = state.poses.shape[0]
+    dtype = state.poses.dtype
+    parts = []
+
+    # IMU
+    pre_k = jax.tree_util.tree_map(lambda a: a[1:], inp.imu_pre)
+
+    def imu_one(k, p):
+        S = sqrt_info_from_cov(p.covariance)
+        return S @ imu_residual_raw(state.poses[k - 1], state.sbs[k - 1],
+                                    state.poses[k], state.sbs[k], p, inp.g)
+
+    ri = jax.vmap(imu_one)(jnp.arange(1, f), pre_k)
+    parts.append(jnp.where(inp.imu_valid[1:, None], ri, 0.0).reshape(-1))
+
+    # wheel
+    wpre_k = jax.tree_util.tree_map(lambda a: a[1:], inp.wheel_pre)
+    sx, sy, sw = state.s_wheel[0], state.s_wheel[1], state.s_wheel[2]
+
+    def wheel_one(k, p):
+        S = sqrt_info_from_cov(p.covariance)
+        dp, dq = wheel_corrected_delta(p, sx, sy, sw, state.td_wheel)
+        return S @ wheel_residual_from_delta(
+            state.poses[k - 1], state.poses[k], state.ex_wheel, dp, dq)
+
+    rw = jax.vmap(wheel_one)(jnp.arange(1, f), wpre_k)
+    parts.append(jnp.where(inp.wheel_valid[1:, None], rw, 0.0).reshape(-1))
+
+    # visual
+    ml = tracks.obs_valid.shape[0]
+    used_num = jnp.sum(tracks.obs_valid, axis=1)
+    lm_ok = tracks.active & tracks.solve_ok & (used_num >= 4)
+    ls = jnp.repeat(jnp.arange(ml), f)
+    js = jnp.tile(jnp.arange(f), ml)
+    si = tracks.start_frame[ls]
+    valid = lm_ok[ls] & tracks.obs_valid[ls, js] & tracks.obs_valid[ls, si] & (js > si)
+    ob_i = tracks.obs[ls, si]
+    ob_j = tracks.obs[ls, js]
+
+    def vis_one2(l, i, j, oi, oj, tdi, tdj):
+        return sqrt_info_scale * proj21_residual_raw(
+            state.poses[i], state.poses[j], state.ex_cam,
+            tracks.inv_depth[l], state.td,
+            jnp.concatenate([oi[0:2], jnp.ones(1, dtype)]),
+            jnp.concatenate([oj[0:2], jnp.ones(1, dtype)]),
+            jnp.concatenate([oi[2:4], jnp.zeros(1, dtype)]),
+            jnp.concatenate([oj[2:4], jnp.zeros(1, dtype)]),
+            tdi, tdj,
+        )
+
+    rv = jax.vmap(vis_one2)(ls, si, js, ob_i, ob_j, inp.td_obs[si], inp.td_obs[js])
+    w = cauchy_weight(jnp.sum(rv * rv, axis=-1), cauchy_delta)[:, None]
+    parts.append(jnp.where(valid[:, None], rv * w, 0.0).reshape(-1))
+
+    # plane
+    if True:
+        from .factors import plane_residual_raw as _pr
+
+        def plane_one(k):
+            return plane_sqrt_info * _pr(state.poses[k], state.ex_wheel,
+                                         state.plane_q, state.plane_z)
+
+        rp = jax.vmap(plane_one)(jnp.arange(f))
+        parts.append(jnp.where(inp.plane_valid[:, None], rp, 0.0).reshape(-1))
+
+    # prior
+    dx = boxminus(state, inp.prior.lin, layout)
+    rm = (inp.prior.r0 + inp.prior.J0 @ dx) * inp.prior.valid.astype(dtype)
+    parts.append(rm)
+
+    # GNSS
+    if inp.gnss_obs is not None:
+        from ..gnss.factors import linearize_clock_chain, linearize_gnss_psr_dopp
+
+        _, rg = linearize_gnss_psr_dopp(state, inp.gnss_obs, inp.gnss_ready, layout)
+        _, rc = linearize_clock_chain(state, inp.frame_dts, inp.gnss_ready,
+                                      inp.ddt_weight, layout)
+        parts.extend([rg, rc])
+    return jnp.concatenate(parts)

@@ -213,3 +213,69 @@ def cauchy_weight(sq_norm: jax.Array, delta: float) -> jax.Array:
 def huber_weight(sq_norm: jax.Array, delta: float) -> jax.Array:
     n = jnp.sqrt(jnp.maximum(sq_norm, 1e-20))
     return jnp.sqrt(jnp.where(n <= delta, 1.0, delta / n))
+
+
+# ---------------------------------------------------------------------------
+# Stereo projection factors (two cameras)
+# ---------------------------------------------------------------------------
+
+
+def proj22_residual_raw(pose_i, pose_j, ex0, ex1, inv_dep, td,
+                        pts_i, pts_j, vel_i, vel_j, td_i, td_j):
+    """projectionTwoFrameTwoCamFactor <2,7,7,7,7,1,1>: anchor obs in cam0 of
+    frame i, target obs in cam1 of frame j."""
+    pts_i_td = pts_i - (td - td_i) * vel_i
+    pts_j_td = pts_j - (td - td_j) * vel_j
+    pts_cam_i = pts_i_td / inv_dep
+    pts_imu_i = quat_rotate(rot(ex0), pts_cam_i) + trans(ex0)
+    pts_w = quat_rotate(rot(pose_i), pts_imu_i) + trans(pose_i)
+    pts_imu_j = quat_rotate_inv(rot(pose_j), pts_w - trans(pose_j))
+    pts_cam_j = quat_rotate_inv(rot(ex1), pts_imu_j - trans(ex1))
+    return pts_cam_j[0:2] / pts_cam_j[2] - pts_j_td[0:2]
+
+
+def proj22_factor(pose_i, pose_j, ex0, ex1, inv_dep, td, obs, sqrt_info_scale):
+    """Whitened residual + Jacobian wrt [δpose_i(6), δpose_j(6), δex0(6),
+    δex1(6), δλ, δtd] → (r[2], J[2,26])."""
+    pts_i, pts_j = obs[0:3], obs[3:6]
+    vel_i, vel_j = obs[6:9], obs[9:12]
+    td_i, td_j = obs[12], obs[13]
+
+    def r_of(d):
+        return sqrt_info_scale * proj22_residual_raw(
+            pose_boxplus(pose_i, d[0:6]), pose_boxplus(pose_j, d[6:12]),
+            pose_boxplus(ex0, d[12:18]), pose_boxplus(ex1, d[18:24]),
+            inv_dep + d[24], td + d[25],
+            pts_i, pts_j, vel_i, vel_j, td_i, td_j,
+        )
+
+    z = jnp.zeros(26, dtype=pose_i.dtype)
+    return r_of(z), jax.jacfwd(r_of)(z)
+
+
+def proj12_residual_raw(ex0, ex1, inv_dep, td, pts_i, pts_j, vel_i, vel_j, td_i, td_j):
+    """projectionOneFrameTwoCamFactor <2,7,7,1,1>: same frame, cam0 → cam1."""
+    pts_i_td = pts_i - (td - td_i) * vel_i
+    pts_j_td = pts_j - (td - td_j) * vel_j
+    pts_cam_i = pts_i_td / inv_dep
+    pts_imu = quat_rotate(rot(ex0), pts_cam_i) + trans(ex0)
+    pts_cam_j = quat_rotate_inv(rot(ex1), pts_imu - trans(ex1))
+    return pts_cam_j[0:2] / pts_cam_j[2] - pts_j_td[0:2]
+
+
+def proj12_factor(ex0, ex1, inv_dep, td, obs, sqrt_info_scale):
+    """Whitened residual + Jacobian wrt [δex0(6), δex1(6), δλ, δtd] →
+    (r[2], J[2,14])."""
+    pts_i, pts_j = obs[0:3], obs[3:6]
+    vel_i, vel_j = obs[6:9], obs[9:12]
+    td_i, td_j = obs[12], obs[13]
+
+    def r_of(d):
+        return sqrt_info_scale * proj12_residual_raw(
+            pose_boxplus(ex0, d[0:6]), pose_boxplus(ex1, d[6:12]),
+            inv_dep + d[12], td + d[13],
+            pts_i, pts_j, vel_i, vel_j, td_i, td_j,
+        )
+
+    z = jnp.zeros(14, dtype=ex0.dtype)
+    return r_of(z), jax.jacfwd(r_of)(z)

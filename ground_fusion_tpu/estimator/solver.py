@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.so3 import mat_to_ypr, quat_mul, quat_normalize, quat_rotate, quat_to_mat, yaw_to_mat, mat_to_quat
-from .assembly import SolveInputs, assemble_rows, normal_equations
+from .assembly import SolveInputs, assemble_residuals, assemble_rows, normal_equations
 from .layout import StateLayout
 from .window import Tracks, WindowState, retract
 
@@ -76,13 +76,22 @@ def solve_window(
         )
         return J, r, _cost(J, r)
 
+    def cost_only(st, tr):
+        # residual-only probe (no Jacobian build) for LM accept/reject
+        r = assemble_residuals(
+            st, tr, inp, layout, params.sqrt_info_scale, params.cauchy_delta,
+            params.plane_sqrt_info,
+        )
+        # frozen columns never move, so free_mask does not change r
+        return 0.5 * jnp.sum(r * r)
+
     def step(carry, _):
         st, tr, lam, _ = carry
         J, r, c0 = lin_cost(st, tr)
         H, g = normal_equations(J, r)
         delta = _solve_delta(H, g, lam, inp.free_mask)
         st_new, tr_new = apply_delta(st, tr, delta)
-        _, r_new, c1 = lin_cost(st_new, tr_new)
+        c1 = cost_only(st_new, tr_new)
         accept = c1 < c0
         st = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), st, st_new)
         tr = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), tr, tr_new)

@@ -109,12 +109,64 @@ class Estimator:
             self.native.push_imu(t, acc, gyr)
         else:
             self.imu_q.append((t, np.asarray(acc, np.float64), np.asarray(gyr, np.float64)))
+        self._fast_predict(t, np.asarray(acc, np.float64), np.asarray(gyr, np.float64))
+
+    def _fast_predict(self, t, acc, gyr):
+        """IMU-rate dead-reckoned odometry on top of the last optimized state
+        (Estimator::fastPredictIMU, estimator.cpp:4014-4030; published as the
+        ~200 Hz latest-odometry path). Read via :meth:`latest_odometry`."""
+        from .utils.np_quat import quat_mul, quat_normalize, quat_to_mat
+
+        if self.solver_flag != self.NON_LINEAR:
+            self._fp = None
+            return
+        if getattr(self, "_fp", None) is None:
+            st = self.core.state
+            self._fp = {
+                "t": t,
+                "p": np.asarray(st.poses[self.f - 1, 0:3], np.float64),
+                "q": np.asarray(st.poses[self.f - 1, 3:7], np.float64),
+                "v": np.asarray(st.sbs[self.f - 1, 0:3], np.float64),
+                "ba": np.asarray(st.sbs[self.f - 1, 3:6], np.float64),
+                "bg": np.asarray(st.sbs[self.f - 1, 6:9], np.float64),
+                "acc": acc, "gyr": gyr,
+            }
+            return
+        fp = self._fp
+        dt = t - fp["t"]
+        if dt <= 0 or dt > 1.0:
+            fp.update(t=t, acc=acc, gyr=gyr)
+            return
+        g = np.array([0.0, 0.0, self.cfg.imu.g_norm])
+        R0 = quat_to_mat(fp["q"])
+        un_acc0 = R0 @ (fp["acc"] - fp["ba"]) - g
+        un_gyr = 0.5 * (fp["gyr"] + gyr) - fp["bg"]
+        q = quat_normalize(quat_mul(fp["q"], np.concatenate([[1.0], 0.5 * un_gyr * dt])))
+        R1 = quat_to_mat(q)
+        un_acc1 = R1 @ (acc - fp["ba"]) - g
+        un_acc = 0.5 * (un_acc0 + un_acc1)
+        fp["p"] = fp["p"] + fp["v"] * dt + 0.5 * un_acc * dt * dt
+        fp["v"] = fp["v"] + un_acc * dt
+        fp.update(t=t, q=q, acc=acc, gyr=gyr)
+
+    def latest_odometry(self):
+        """(t, pose7, v) of the IMU-rate propagated state, or None."""
+        fp = getattr(self, "_fp", None)
+        if fp is None:
+            return None
+        return fp["t"], np.concatenate([fp["p"], fp["q"]]), fp["v"]
 
     def input_wheel(self, t: float, vel, gyr) -> None:
+        gyr = np.asarray(gyr, np.float64).copy()
+        if getattr(self.cfg.wheel, "w_replace", False) and \
+                getattr(self, "_fp", None) is not None:
+            # wheel yaw-rate replaced by the latest IMU gyro z (w_replace,
+            # rosNodeTest.cpp:93-156 — wheel gyros are usually the worst axis)
+            gyr[2] = self._fp["gyr"][2] - self._fp["bg"][2]
         if self.native is not None:
             self.native.push_wheel(t, vel, gyr)
         else:
-            self.wheel_q.append((t, np.asarray(vel, np.float64), np.asarray(gyr, np.float64)))
+            self.wheel_q.append((t, np.asarray(vel, np.float64), gyr))
 
     def input_gnss(self, t: float, obs_list: list[dict]) -> None:
         """One GNSS epoch (list of per-satellite obs dicts, see
@@ -411,7 +463,7 @@ class Estimator:
             imu_stationary, visual_stationary, wheel_anomaly, wheel_stationary,
         )
 
-        from .geometry.so3 import quat_mul, quat_normalize, quat_to_mat
+        from .utils.np_quat import quat_mul, quat_normalize, quat_to_mat
 
         cfg = self.cfg
         d_i, a_i, g_i, v_i, a0, g0 = iv
@@ -423,26 +475,24 @@ class Estimator:
         q = np.array([1.0, 0, 0, 0])
         dp_wheel = np.zeros(3)
         for k in np.nonzero(v_w)[0]:
-            Rloc = np.asarray(quat_to_mat(np.asarray(q)))
-            dp_wheel += Rloc @ (vel_w[k] * d_w[k])
+            dp_wheel += quat_to_mat(q) @ (vel_w[k] * d_w[k])
             dq = np.concatenate([[1.0], 0.5 * (g_w[k] - bg) * d_w[k]])
-            q = np.asarray(quat_normalize(quat_mul(np.asarray(q), np.asarray(dq))))
+            q = quat_normalize(quat_mul(q, dq))
 
         # IMU dead-reckoned ΔP (same frame, rotating attitude — the
         # fastPredict-style comparison of estimator.cpp:614-636)
-        Rw = np.asarray(quat_to_mat(self.core.state.poses[self.f - 1, 3:7]))
+        Rw = quat_to_mat(np.asarray(self.core.state.poses[self.f - 1, 3:7]))
         g_body0 = Rw.T @ np.array([0.0, 0.0, cfg.imu.g_norm])
         v_body = Rw.T @ sb[0:3]
         q = np.array([1.0, 0, 0, 0])
         dp_imu = np.zeros(3)
         vv = v_body.copy()
         for k in np.nonzero(v_i)[0]:
-            Rloc = np.asarray(quat_to_mat(np.asarray(q)))
-            acc_lin = Rloc @ (a_i[k] - ba) - g_body0
+            acc_lin = quat_to_mat(q) @ (a_i[k] - ba) - g_body0
             dp_imu += vv * d_i[k] + 0.5 * acc_lin * d_i[k] ** 2
             vv = vv + acc_lin * d_i[k]
             dq = np.concatenate([[1.0], 0.5 * (g_i[k] - bg) * d_i[k]])
-            q = np.asarray(quat_normalize(quat_mul(np.asarray(q), np.asarray(dq))))
+            q = quat_normalize(quat_mul(q, dq))
 
         self._wheel_anomaly = bool(
             cfg.wdetect
@@ -608,6 +658,7 @@ class Estimator:
         )
         core_new, out = self.step_fn(self.core, flags)
         self.core = core_new
+        self._fp = None   # fastPredict re-seeds from the fresh optimized state
         pose = np.asarray(out["pose"])
         self.trajectory.append((self.ts[-1], pose))
         self.keyframe_flags.append(bool(marg_old))

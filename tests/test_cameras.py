@@ -56,3 +56,50 @@ def test_mei_roundtrip():
     ray = ray / ray[..., 2:3]
     uv2 = mei_space_to_plane(cam, ray)
     np.testing.assert_allclose(uv2, uv, atol=1e-5)
+
+
+def test_pinhole_full_roundtrip():
+    from ground_fusion_tpu.cameras.models import (
+        PinholeFullParams, pinhole_full_lift_projective, pinhole_full_space_to_plane,
+    )
+
+    cam = PinholeFullParams.make(460.0, 460.0, 320.0, 240.0,
+                                 k1=-0.28, k2=0.07, k3=-0.005, k4=-0.27,
+                                 k5=0.06, k6=-0.004, p1=1e-4, p2=-2e-4,
+                                 dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    pts = np.stack([rng.uniform(-1, 1, 50), rng.uniform(-0.8, 0.8, 50),
+                    rng.uniform(2, 6, 50)], -1)
+    uv = pinhole_full_space_to_plane(cam, jnp.asarray(pts))
+    rays = pinhole_full_lift_projective(cam, uv)
+    norm_gt = pts[:, 0:2] / pts[:, 2:3]
+    assert np.abs(np.asarray(rays)[:, 0:2] - norm_gt).max() < 1e-8
+
+
+def test_scaramuzza_matches_reference_formula():
+    """Twin check against the exact OCAMCamera::spaceToPlane formula
+    (ScaramuzzaCamera.cc:632-653): theta = atan2(-z, norm), Horner inv_poly,
+    affine C/D/E + center."""
+    from ground_fusion_tpu.cameras.models import (
+        ScaramuzzaParams, scaramuzza_space_to_plane,
+    )
+
+    inv_poly = np.array([350.0, 150.0, 20.0, 5.0])
+    C, D, E = 1.001, 0.002, -0.001
+    cx, cy = 320.0, 240.0
+    cam = ScaramuzzaParams.make(
+        poly=[-250.0, 0.0, 6e-4, 0.0, 0.0], inv_poly=inv_poly,
+        c=C, d=D, e=E, cx=cx, cy=cy, dtype=jnp.float64,
+    )
+    rng = np.random.default_rng(0)
+    pts = rng.normal(0, 2.0, (20, 3))
+    uv = np.asarray(scaramuzza_space_to_plane(cam, jnp.asarray(pts)))
+    for P, got in zip(pts, uv):
+        norm = np.hypot(P[0], P[1])
+        theta = np.arctan2(-P[2], norm)
+        rho = sum(c * theta**i for i, c in enumerate(inv_poly))
+        xn = P[0] / norm * rho
+        yn = P[1] / norm * rho
+        exp_u = xn * C + yn * D + cx
+        exp_v = xn * E + yn + cy
+        assert abs(got[0] - exp_u) < 1e-9 and abs(got[1] - exp_v) < 1e-9

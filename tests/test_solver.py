@@ -198,3 +198,41 @@ def test_marginalization_matches_dense_schur(problem):
 
     scale = max(1.0, np.abs(H_ref).max())
     assert np.max(np.abs(H_prior - H_ref)) / scale < 1e-6
+
+
+def test_stereo_factors_zero_at_gt():
+    """Stereo projection factors (two-cam variants) vanish on consistent
+    geometry (projectionTwoFrameTwoCamFactor / OneFrameTwoCam)."""
+    from ground_fusion_tpu.estimator.factors import proj12_factor, proj22_factor
+    from ground_fusion_tpu.geometry.se3 import pose as make_pose, pose_apply, pose_apply_inv, pose_compose
+    from ground_fusion_tpu.geometry.so3 import mat_to_quat, ypr_to_mat
+
+    rng = np.random.default_rng(0)
+    R = np.asarray(ypr_to_mat(jnp.asarray([0.1, -0.04, 0.02], DT)))
+    pose_i = jnp.asarray(np.concatenate([[0.0, 0, 0], np.asarray(mat_to_quat(jnp.eye(3)))]), DT)
+    pose_j = jnp.asarray(np.concatenate([[0.5, 0.1, 0.0],
+                                         np.asarray(mat_to_quat(jnp.asarray(R)))]), DT)
+    ex0 = jnp.asarray([0.0, 0, 0, 1, 0, 0, 0], DT)
+    ex1 = jnp.asarray([0.1, 0.0, 0.0, 1, 0, 0, 0], DT)   # 10 cm baseline
+
+    pt_w = jnp.asarray([0.3, -0.2, 4.0], DT)
+    cam_i0 = pose_compose(pose_i, ex0)
+    cam_j1 = pose_compose(pose_j, ex1)
+    pc_i = pose_apply_inv(cam_i0, pt_w)
+    pc_j = pose_apply_inv(cam_j1, pt_w)
+    obs = jnp.concatenate([
+        pc_i / pc_i[2], pc_j / pc_j[2], jnp.zeros(6, DT), jnp.zeros(2, DT)
+    ])
+    inv_dep = 1.0 / pc_i[2]
+
+    r, J = proj22_factor(pose_i, pose_j, ex0, ex1, inv_dep, jnp.asarray(0.0, DT),
+                         obs, jnp.asarray(460.0 / 1.5, DT))
+    assert float(jnp.max(jnp.abs(r))) < 1e-9 and J.shape == (2, 26)
+
+    pc_1 = pose_apply_inv(pose_compose(pose_i, ex1), pt_w)
+    obs12 = jnp.concatenate([
+        pc_i / pc_i[2], pc_1 / pc_1[2], jnp.zeros(6, DT), jnp.zeros(2, DT)
+    ])
+    r2, J2 = proj12_factor(ex0, ex1, inv_dep, jnp.asarray(0.0, DT), obs12,
+                           jnp.asarray(460.0 / 1.5, DT))
+    assert float(jnp.max(jnp.abs(r2))) < 1e-9 and J2.shape == (2, 14)
