@@ -161,6 +161,11 @@ class MapConfig:
     depth_boundary: int = 20
     max_points_per_kf: int = 8192
     density_gate: int = 3             # getVoxelDensityAtPoint < 3 (pose_graph.cpp:191-244)
+    # TSDF surface meshing (the offline Poisson-mesh analog, meshing.py)
+    mesh: bool = False
+    mesh_resolution: int = 128
+    mesh_size_m: float = 10.0
+    mesh_origin: tuple[float, float, float] = (-5.0, -5.0, -2.0)
 
 
 @dataclass(frozen=True)

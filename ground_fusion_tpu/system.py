@@ -64,10 +64,19 @@ class GroundFusionSystem:
             self._kf_index = 0
 
         self.voxel_map = None
+        self.tsdf = None
         if cfg.map.enabled:
             from .global_layers.dense_map import VoxelColorMap
 
             self.voxel_map = VoxelColorMap(voxel_size=cfg.map.voxel_size)
+            if cfg.map.mesh:
+                from .global_layers.meshing import TsdfVolume
+
+                self.tsdf = TsdfVolume(
+                    origin=cfg.map.mesh_origin, size_m=cfg.map.mesh_size_m,
+                    resolution=cfg.map.mesh_resolution,
+                    depth_max=cfg.tracker.depth_max,
+                )
 
         self.global_fusion = None
         self.stats = StageStats()
@@ -197,6 +206,12 @@ class GroundFusionSystem:
         pts_w = pose_apply(cam_pose, pts_cam)
         with self.stats.time("map"):
             self.voxel_map.insert(pts_w, rgb, ok)
+            if self.tsdf is not None:
+                self.tsdf.integrate(
+                    np.asarray(depth, np.float32), np.asarray(color, np.float32),
+                    np.asarray(cam_pose), self.cam.fx, self.cam.fy,
+                    self.cam.cx, self.cam.cy,
+                )
 
     # --------------------------------------------------------------- output
 
@@ -209,6 +224,8 @@ class GroundFusionSystem:
             self.global_fusion.write_tum(os.path.join(self.out_dir, "global.txt"))
         if self.voxel_map is not None:
             self.voxel_map.save_ply(os.path.join(self.out_dir, "map.ply"))
+        if self.tsdf is not None:
+            self.tsdf.save_mesh_ply(os.path.join(self.out_dir, "mesh.ply"))
         self.dead_reckoning.write_tum(
             os.path.join(self.out_dir, "pure_imu.txt"),
             os.path.join(self.out_dir, "pure_wheel.txt"),
