@@ -16,6 +16,10 @@ import jax
 import jax.numpy as jnp
 
 from ..preintegration.imu import ImuPreint, preintegrate
+from ..preintegration.parallel import (
+    preintegrate_parallel,
+    preintegrate_wheel_parallel,
+)
 from ..preintegration.wheel import WheelPreint, preintegrate_wheel
 
 
@@ -55,23 +59,30 @@ def empty_wheel_buffer(num_frames: int, cap: int, dtype=jnp.float32) -> WheelWin
     )
 
 
-def preintegrate_imu_window(buf: ImuWindowBuffer, sbs: jax.Array, noise18) -> ImuPreint:
+def preintegrate_imu_window(buf: ImuWindowBuffer, sbs: jax.Array, noise18,
+                            parallel: bool = True) -> ImuPreint:
     """Preintegrate every interval; slot k linearizes at the biases of frame
     k-1 (the interval's start), like ``IntegrationBase(acc_0, gyr_0, Bas[k-1],
-    Bgs[k-1])``. Returns an ImuPreint pytree with leading axis F."""
+    Bgs[k-1])``. Returns an ImuPreint pytree with leading axis F.
+
+    ``parallel=True`` uses the log-depth associative-scan formulation
+    (:mod:`..preintegration.parallel`, equal to the sequential scan to float
+    rounding — see tests/test_parallel_preint.py)."""
     sb_prev = jnp.roll(sbs, 1, axis=0)
     ba, bg = sb_prev[:, 3:6], sb_prev[:, 6:9]
+    fn = preintegrate_parallel if parallel else preintegrate
     return jax.vmap(
-        lambda d, a, g, v, a0, g0, ba_, bg_: preintegrate(d, a, g, v, a0, g0, ba_, bg_, noise18)
+        lambda d, a, g, v, a0, g0, ba_, bg_: fn(d, a, g, v, a0, g0, ba_, bg_, noise18)
     )(buf.dts, buf.acc, buf.gyr, buf.valid, buf.acc0, buf.gyr0, ba, bg)
 
 
 def preintegrate_wheel_window(buf: WheelWindowBuffer, s_wheel: jax.Array,
-                              td_wheel: jax.Array, noise12) -> WheelPreint:
+                              td_wheel: jax.Array, noise12,
+                              parallel: bool = True) -> WheelPreint:
     sx, sy, sw = s_wheel[0], s_wheel[1], s_wheel[2]
-    f = buf.dts.shape[0]
+    fn = preintegrate_wheel_parallel if parallel else preintegrate_wheel
     return jax.vmap(
-        lambda d, v, g, ok, v0, g0: preintegrate_wheel(
+        lambda d, v, g, ok, v0, g0: fn(
             d, v, g, ok, v0, g0, sx, sy, sw, td_wheel, noise12
         )
     )(buf.dts, buf.vel, buf.gyr, buf.valid, buf.vel0, buf.gyr0)
