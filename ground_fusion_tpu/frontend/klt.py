@@ -101,6 +101,19 @@ def _lk_level(prev_img, cur_img, pts_prev, pts_cur, valid, half: int, iters: int
     return jax.vmap(track_one)(pts_prev, pts_cur, valid)
 
 
+def _lk_level_auto(prev_img, cur_img, pp, pts, ok, half: int, iters: int):
+    """Dispatch one LK level: the Pallas per-feature kernel on TPU (16× the
+    vmapped-gather version — see ``ops.pallas.klt``), the JAX reference
+    elsewhere. Both agree to ~1e-3 px (tests/test_pallas_klt.py)."""
+    h, w = prev_img.shape
+    if jax.default_backend() == "tpu" and min(h, w) >= 48:
+        from ..ops.pallas.klt import lk_level_pallas
+
+        return lk_level_pallas(prev_img, cur_img, pp, pts, ok,
+                               half=half, iters=iters)
+    return _lk_level(prev_img, cur_img, pp, pts, ok, half, iters)
+
+
 @partial(jax.jit, static_argnames=("levels", "half", "iters"))
 def track_pyramidal(prev_pyr_stack, cur_pyr_stack, pts_prev, pts_seed, valid,
                     levels: int, half: int = 10, iters: int = 10):
@@ -114,8 +127,8 @@ def track_pyramidal(prev_pyr_stack, cur_pyr_stack, pts_prev, pts_seed, valid,
     for lvl in range(levels - 1, -1, -1):
         scale = 2.0 ** lvl
         pp = pts_prev / scale
-        pts, ok_lvl = _lk_level(prev_pyr_stack[lvl], cur_pyr_stack[lvl], pp, pts,
-                                ok, half, iters)
+        pts, ok_lvl = _lk_level_auto(prev_pyr_stack[lvl], cur_pyr_stack[lvl],
+                                     pp, pts, ok, half, iters)
         ok = ok & ok_lvl
         if lvl > 0:
             pts = pts * 2.0
