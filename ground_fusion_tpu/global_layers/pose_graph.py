@@ -56,6 +56,45 @@ def edge_residual(yaw_i, t_i, yaw_j, t_j, e_tij, e_yaw, pitch_i, roll_i, w_t, w_
     return jnp.concatenate([r_t, r_y[None]])
 
 
+def linearize_edges(yaws: jax.Array, ts: jax.Array, edges: GraphEdges, n: int):
+    """Batched forward-AD linearization of every 4-DoF edge into dense rows
+    over the [4·N] state; invalid edges are zero rows. Shared by the
+    single-device solve below and the edge-sharded mesh solve
+    (:mod:`...parallel.sharded`)."""
+    dtype = ts.dtype
+
+    def one(i, j, tij, yij, pi, ri, wt, wy, ok):
+        def r_of(d):
+            return edge_residual(
+                yaws[i] + d[0], ts[i] + d[1:4], yaws[j] + d[4], ts[j] + d[5:8],
+                tij, yij, pi, ri, wt, wy,
+            )
+
+        z = jnp.zeros(8, dtype)
+        r = r_of(z)
+        J = jax.jacfwd(r_of)(z)
+        w = ok.astype(dtype)
+        return r * w, J * w
+
+    r, J = jax.vmap(one)(edges.i, edges.j, edges.t_ij, edges.yaw_ij,
+                         edges.pitch_i, edges.roll_i, edges.w_t,
+                         edges.w_yaw, edges.valid)      # [E,4], [E,4,8]
+    cols = jnp.concatenate(
+        [
+            (4 * edges.i)[:, None],
+            (4 * edges.i)[:, None] + 1 + jnp.arange(3)[None, :],
+            (4 * edges.j)[:, None],
+            (4 * edges.j)[:, None] + 1 + jnp.arange(3)[None, :],
+        ],
+        axis=1,
+    )                                                   # [E,8]
+    e = r.shape[0]
+    Jd = jnp.zeros((e, 4, 4 * n), dtype)
+    Jd = Jd.at[jnp.arange(e)[:, None, None], jnp.arange(4)[None, :, None],
+               cols[:, None, :]].set(J)
+    return Jd.reshape(e * 4, 4 * n), r.reshape(-1)
+
+
 @partial(jax.jit, static_argnames=("iters",))
 def optimize_4dof(yaws: jax.Array, ts: jax.Array, node_valid: jax.Array,
                   fixed: jax.Array, edges: GraphEdges, iters: int = 5):
@@ -66,36 +105,7 @@ def optimize_4dof(yaws: jax.Array, ts: jax.Array, node_valid: jax.Array,
     dtype = ts.dtype
 
     def linearize(yaws, ts):
-        def one(i, j, tij, yij, pi, ri, wt, wy, ok):
-            def r_of(d):
-                return edge_residual(
-                    yaws[i] + d[0], ts[i] + d[1:4], yaws[j] + d[4], ts[j] + d[5:8],
-                    tij, yij, pi, ri, wt, wy,
-                )
-
-            z = jnp.zeros(8, dtype)
-            r = r_of(z)
-            J = jax.jacfwd(r_of)(z)
-            w = ok.astype(dtype)
-            return r * w, J * w
-
-        r, J = jax.vmap(one)(edges.i, edges.j, edges.t_ij, edges.yaw_ij,
-                             edges.pitch_i, edges.roll_i, edges.w_t,
-                             edges.w_yaw, edges.valid)      # [E,4], [E,4,8]
-        cols = jnp.concatenate(
-            [
-                (4 * edges.i)[:, None],
-                (4 * edges.i)[:, None] + 1 + jnp.arange(3)[None, :],
-                (4 * edges.j)[:, None],
-                (4 * edges.j)[:, None] + 1 + jnp.arange(3)[None, :],
-            ],
-            axis=1,
-        )                                                   # [E,8]
-        e = r.shape[0]
-        Jd = jnp.zeros((e, 4, 4 * n), dtype)
-        Jd = Jd.at[jnp.arange(e)[:, None, None], jnp.arange(4)[None, :, None],
-                   cols[:, None, :]].set(J)
-        return Jd.reshape(e * 4, 4 * n), r.reshape(-1)
+        return linearize_edges(yaws, ts, edges, n)
 
     free = (node_valid & ~fixed).astype(dtype)
     free4 = jnp.repeat(free, 4)

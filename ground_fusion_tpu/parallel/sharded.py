@@ -180,3 +180,76 @@ def shard_tracks(tracks: Tracks, mesh: Mesh) -> Tracks:
     """Place a Tracks pytree with its landmark axis sharded over the mesh."""
     spec = NamedSharding(mesh, P("lm"))
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, spec), tracks)
+
+
+# ---------------------------------------------------------------------------
+# Edge-sharded 4-DoF pose graph (the keyframe-range scale-out axis)
+# ---------------------------------------------------------------------------
+
+
+def make_sharded_pose_graph(mesh: Mesh, n_nodes: int, iters: int = 5,
+                            axis: str = "lm"):
+    """Mesh-sharded 4-DoF pose-graph relaxation.
+
+    The unbounded keyframe graph is the second scaling axis (SURVEY §5
+    long-context analog: keyframe ranges sharded across devices/hosts with
+    boundary-pose exchange). Here the EDGE set shards over the mesh — each
+    device linearizes its edge shard (``linearize_edges``, the same code the
+    single-device solve uses) and contributes H = JᵀJ of shape [4N, 4N] via
+    one ``psum`` per GN iteration; the dense solve is replicated. Node count
+    is padded-static; multi-host runs place edge shards host-local so the
+    only cross-host traffic is the reduced system.
+
+    Usage::
+
+        solve = make_sharded_pose_graph(mesh, n_nodes=MAX_KF)
+        yaws, ts = solve(yaws, ts, node_valid, fixed, edges_sharded)
+    """
+    from functools import partial as _partial
+
+    from ..global_layers.pose_graph import GraphEdges, linearize_edges
+
+    @_partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis)),
+        out_specs=(P(), P()),
+    )
+    def solve(yaws, ts, node_valid, fixed, edges_shard: GraphEdges):
+        dtype = ts.dtype
+        free = (node_valid & ~fixed).astype(dtype)
+        free4 = jnp.repeat(free, 4)
+
+        def gn(carry, _):
+            yaws, ts = carry
+            Jd, r = linearize_edges(yaws, ts, edges_shard, n_nodes)
+            Jd = Jd * free4[None, :]
+            H = jax.lax.psum(Jd.T @ Jd, axis)
+            g = jax.lax.psum(Jd.T @ r, axis)
+            damp = 1e-6 * jnp.diagonal(H) + 1e-8 + (1.0 - free4)
+            L = jnp.linalg.cholesky(H + jnp.diag(damp))
+            dx = jax.scipy.linalg.cho_solve((L, True), -g) * free4
+            dx = dx.reshape(n_nodes, 4)
+            return (yaws + dx[:, 0], ts + dx[:, 1:4]), None
+
+        (yaws, ts), _ = jax.lax.scan(gn, (yaws, ts), None, length=iters)
+        return yaws, ts
+
+    return jax.jit(solve)
+
+
+def shard_edges(edges, mesh: Mesh, axis: str = "lm"):
+    """Pad the edge table to a multiple of the mesh size and shard it."""
+    n_dev = mesh.shape[axis]
+    e = edges.i.shape[0]
+    pad = (-e) % n_dev
+
+    def pad_leaf(a):
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, widths)
+
+    padded = jax.tree_util.tree_map(pad_leaf, edges)
+    padded = padded._replace(
+        valid=jnp.pad(edges.valid, (0, pad), constant_values=False))
+    spec = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, spec), padded)

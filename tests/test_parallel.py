@@ -68,3 +68,60 @@ def test_sharded_gn_recovers_window():
     dep_err = float(jnp.max(jnp.abs(jnp.where(
         prob["tracks"].active, tracks1.inv_depth - prob["tracks"].inv_depth, 0.0))))
     assert dep_err < 5e-3, f"sharded GN depth error {dep_err}"
+
+
+def test_sharded_pose_graph_matches_single():
+    """Edge-sharded 4-DoF relaxation == single-device optimize_4dof."""
+    import numpy as np
+    from ground_fusion_tpu.global_layers.pose_graph import (
+        GraphEdges, optimize_4dof,
+    )
+    from ground_fusion_tpu.parallel.sharded import (
+        make_sharded_pose_graph, shard_edges,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 24
+    gt_yaw = np.cumsum(rng.normal(0, 0.1, n))
+    gt_t = np.cumsum(rng.normal(0, 0.5, (n, 3)), axis=0)
+    # noisy initial guess
+    yaws0 = gt_yaw + rng.normal(0, 0.05, n)
+    ts0 = gt_t + rng.normal(0, 0.1, (n, 3))
+    yaws0[0], ts0[0] = gt_yaw[0], gt_t[0]
+
+    def rotz(y):
+        c, s = np.cos(y), np.sin(y)
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+
+    ei, ej, tij, yij = [], [], [], []
+    for j in range(1, n):
+        for back in (1, 2):
+            i = j - back
+            if i < 0:
+                continue
+            ei.append(i)
+            ej.append(j)
+            tij.append(rotz(gt_yaw[i]).T @ (gt_t[j] - gt_t[i]))
+            yij.append(gt_yaw[j] - gt_yaw[i])
+    e = len(ei)
+    edges = GraphEdges(
+        i=jnp.asarray(ei, jnp.int32), j=jnp.asarray(ej, jnp.int32),
+        t_ij=jnp.asarray(np.stack(tij)), yaw_ij=jnp.asarray(yij),
+        pitch_i=jnp.zeros(e), roll_i=jnp.zeros(e),
+        w_t=jnp.ones(e), w_yaw=jnp.ones(e), valid=jnp.ones(e, bool),
+    )
+    node_valid = jnp.ones(n, bool)
+    fixed = jnp.zeros(n, bool).at[0].set(True)
+
+    y1, t1 = optimize_4dof(jnp.asarray(yaws0), jnp.asarray(ts0), node_valid,
+                           fixed, edges, iters=6)
+
+    mesh = jax.make_mesh((8,), ("lm",))
+    solve = make_sharded_pose_graph(mesh, n_nodes=n, iters=6)
+    es = shard_edges(edges, mesh)
+    y2, t2 = solve(jnp.asarray(yaws0), jnp.asarray(ts0), node_valid, fixed, es)
+
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t1), atol=1e-8)
+    # and it actually recovers ground truth
+    np.testing.assert_allclose(np.asarray(t2), gt_t, atol=1e-5)
