@@ -116,6 +116,10 @@ class SolverConfig:
     keyframe_parallax_px: float = 10.0
     min_track_for_solve: int = 4      # feature used_num >= 4 (feature_manager semantics)
     estimate_extrinsic: bool = False
+    # ESTIMATE_EXTRINSIC=2 path (parameters.h:76-80): no prior rotation —
+    # bootstrap ric by hand-eye calibration during initialization
+    # (initial_ex_rotation.cpp:22-79) before optimizing it online
+    calibrate_extrinsic: bool = False
     estimate_td: bool = False
     td: float = 0.0
     max_solver_time_ms: float = 40.0  # informational; TPU solve is fixed-iteration

@@ -16,11 +16,14 @@ import jax.numpy as jnp
 
 from ..geometry.so3 import (
     g2r,
+    left_quat_prod_mat,
     mat_to_quat,
     mat_to_ypr,
     quat_conj,
+    quat_identity,
     quat_mul,
     quat_to_mat,
+    right_quat_prod_mat,
     ypr_to_mat,
 )
 from ..preintegration.imu import ImuPreint
@@ -247,3 +250,58 @@ def align_window_to_gravity(state: WindowState, g_est: jax.Array, vels_body: jax
     poses = jnp.concatenate([new_p, mat_to_quat(new_R)], axis=-1)
     sbs = state.sbs.at[:, 0:3].set(v_world)
     return state._replace(poses=poses, sbs=sbs)
+
+
+def calibrate_extrinsic_rotation(q_cam: jax.Array, q_imu: jax.Array,
+                                 valid: jax.Array, iters: int = 5):
+    """Online camera–IMU rotation hand-eye calibration.
+
+    Semantics of ``InitialEXRotation::CalibrationExRotation``
+    (``initial/initial_ex_rotation.cpp:22-79``, the ESTIMATE_EXTRINSIC=2
+    bootstrap): each frame pair contributes the quaternion hand-eye
+    constraint ``q_cam ⊗ x = x ⊗ q_imu`` as a 4x4 block
+    ``Qleft(q_cam) − Qright(q_imu)``, Huber-downweighted by the angular
+    disagreement (deg, knee at 5°) between the camera rotation and the
+    IMU rotation conjugated into the camera frame by the current estimate.
+    The reference re-solves the growing stacked SVD once per incoming
+    frame; here the whole padded batch is linearized at once and the
+    weight→solve cycle runs ``iters`` fixed Picard iterations (same fixed
+    point, jit-friendly). The 4x4 normal matrix is eigendecomposed instead
+    of SVD-ing the tall stack — identical null space, MXU-trivial.
+
+    Args:
+      q_cam: [N,4] wxyz relative camera rotations (frame k → k+1, from the
+        essential matrix — ``sfm.relative_pose_ransac``).
+      q_imu: [N,4] wxyz preintegrated IMU delta rotations for the same pairs.
+      valid: [N] bool mask of usable pairs.
+      iters: Picard iterations of the reweight→solve cycle.
+
+    Returns:
+      (ric matrix [3,3], ok flag) — ok mirrors the reference's observability
+      gate ``ric_cov(1) > 0.25`` (second-smallest singular value of the
+      weighted stack).
+    """
+    dtype = q_cam.dtype
+    w_valid = valid.astype(dtype)
+
+    def solve_once(q_ric, _):
+        # IMU rotation seen from the camera frame under the current estimate
+        q_cg = quat_mul(quat_mul(quat_conj(q_ric)[None, :], q_imu), q_ric[None, :])
+        dot = jnp.clip(jnp.abs(jnp.sum(q_cam * q_cg, axis=-1)), 0.0, 1.0)
+        ang_deg = jnp.degrees(2.0 * jnp.arccos(dot))
+        huber = jnp.where(ang_deg > 5.0, 5.0 / jnp.maximum(ang_deg, 1e-9), 1.0)
+        w = (huber * w_valid)[:, None, None]
+
+        A = w * (left_quat_prod_mat(q_cam) - right_quat_prod_mat(q_imu))  # [N,4,4]
+        N4 = jnp.einsum("nij,nik->jk", A, A)                              # AᵀA, 4x4
+        eigval, eigvec = jnp.linalg.eigh(N4)                              # ascending
+        x = eigvec[:, 0]
+        x = x * jnp.sign(jnp.where(jnp.abs(x[0]) > 1e-12, x[0], 1.0))
+        # q_cam ⊗ x = x ⊗ q_imu  →  ric = R(x)⁻¹ (reference: estimated_R.inverse())
+        q_new = quat_conj(x / jnp.linalg.norm(x))
+        sv2 = jnp.sqrt(jnp.maximum(eigval[1], 0.0))   # second-smallest singular value
+        return q_new, sv2
+
+    q_ric, sv2 = jax.lax.scan(solve_once, quat_identity(dtype), None, length=iters)
+    ok = (sv2[-1] > 0.25) & (jnp.sum(valid) >= 10)
+    return quat_to_mat(q_ric), ok

@@ -437,8 +437,50 @@ class Estimator:
         if not bool(ok):
             return False
         st = align_window_to_gravity(st, g_est, vels_body, cfg.imu.g_norm)
+
+        if cfg.solver.calibrate_extrinsic:
+            # ESTIMATE_EXTRINSIC=2: bootstrap ric by hand-eye calibration from
+            # adjacent-pair essential rotations vs IMU delta rotations
+            # (CalibrationExRotation call site estimator.cpp:905-925)
+            ric, cal_ok = self._hand_eye_bootstrap(imu_pre)
+            if bool(cal_ok):
+                ex = st.ex_cam.at[3:7].set(mat_to_quat(ric).astype(self.dtype))
+                st = st._replace(ex_cam=ex)
         self.core = self.core._replace(state=st)
         return True
+
+    def _hand_eye_bootstrap(self, imu_pre):
+        """Relative camera rotations (essential-matrix RANSAC on each adjacent
+        frame pair of the window's tracks) + IMU preintegrated delta rotations
+        → ``calibrate_extrinsic_rotation`` (initial_ex_rotation.cpp:22-79)."""
+        import jax
+
+        from .estimator.initialization import calibrate_extrinsic_rotation
+        from .estimator.sfm import relative_pose_ransac
+
+        tr = self.core.tracks
+        q_cam, q_imu, valid = [], [], []
+        key = jax.random.PRNGKey(0)
+        for k in range(self.f - 1):
+            both = np.asarray(tr.obs_valid[:, k] & tr.obs_valid[:, k + 1] & tr.active)
+            if both.sum() < 12:
+                continue
+            xi = tr.obs[:, k, 0:2]
+            xj = tr.obs[:, k + 1, 0:2]
+            key, sub = jax.random.split(key)
+            pose_rel, _, ok = relative_pose_ransac(xi, xj, jnp.asarray(both), sub)
+            if not bool(ok):
+                continue
+            q_cam.append(np.asarray(pose_rel[3:7]))  # q_ci_cj, matches delta_q q_bi_bj
+            q_imu.append(np.asarray(imu_pre.delta_q[k + 1]))
+            valid.append(True)
+        if len(q_cam) < 3:
+            return None, False
+        return calibrate_extrinsic_rotation(
+            jnp.asarray(np.stack(q_cam), self.dtype),
+            jnp.asarray(np.stack(q_imu), self.dtype),
+            jnp.asarray(valid),
+        )
 
     # ------------------------------------------------------------- solve step
 

@@ -167,3 +167,45 @@ def test_sfm_construct(prob_slow):
             d_est = est[0:3] / max(np.linalg.norm(est[0:3]), 1e-9)
             assert np.dot(d_gt, d_est) > 0.98, f"frame {k} dir"
         assert abs(np.dot(rel_gt[3:7], est[3:7])) > 0.999, f"frame {k} rot"
+
+
+def test_calibrate_extrinsic_rotation_recovers_ric():
+    """Hand-eye calibration (initial_ex_rotation.cpp:22-79 semantics): recover
+    a known camera-IMU rotation from noisy relative-rotation pairs."""
+    import numpy as np
+    from ground_fusion_tpu.estimator.initialization import calibrate_extrinsic_rotation
+    from ground_fusion_tpu.geometry.so3 import (
+        quat_conj, quat_mul, quat_normalize, quat_to_mat,
+    )
+
+    rng = np.random.default_rng(7)
+    # true body_R_cam
+    axis = rng.standard_normal(3); axis /= np.linalg.norm(axis)
+    th = 0.9
+    q_ric = jnp.asarray([np.cos(th / 2), *(np.sin(th / 2) * axis)], jnp.float64)
+
+    n = 24
+    qs = []
+    for _ in range(n):
+        a = rng.standard_normal(3); a /= np.linalg.norm(a)
+        t = rng.uniform(0.05, 0.5)
+        qs.append([np.cos(t / 2), *(np.sin(t / 2) * a)])
+    q_imu = jnp.asarray(np.array(qs), jnp.float64)
+    # q_cam = ric⁻¹ ⊗ q_imu ⊗ ric  (hand-eye identity), small noise
+    q_cam = quat_mul(quat_mul(quat_conj(q_ric)[None], q_imu), q_ric[None])
+    noise = 0.002 * rng.standard_normal((n, 4))
+    q_cam = quat_normalize(q_cam + jnp.asarray(noise))
+    valid = jnp.ones(n, bool)
+
+    ric, ok = jax.jit(calibrate_extrinsic_rotation)(q_cam, q_imu, valid)
+    assert bool(ok)
+    err = np.asarray(ric) - np.asarray(quat_to_mat(q_ric))
+    assert np.abs(err).max() < 5e-3
+
+    # degenerate: all rotations about one axis → observability gate trips
+    q_deg = jnp.asarray(
+        np.array([[np.cos(t / 2), np.sin(t / 2), 0.0, 0.0]
+                  for t in rng.uniform(0.05, 0.5, n)]), jnp.float64)
+    q_cam_d = quat_mul(quat_mul(quat_conj(q_ric)[None], q_deg), q_ric[None])
+    _, ok_d = jax.jit(calibrate_extrinsic_rotation)(q_cam_d, q_deg, valid)
+    assert not bool(ok_d)
