@@ -45,6 +45,13 @@ class FeatureTracker:
         self.track_len = np.zeros((0,), np.int64)
         self.next_id = 0
         self.prev_t: Optional[float] = None
+        self.predict_pts: dict[int, tuple[float, float]] = {}
+
+    def set_prediction(self, pts_px: dict[int, tuple[float, float]]) -> None:
+        """Seed the next LK solve with estimator-predicted pixel positions
+        (``FeatureTracker::setPrediction`` / ``hasPrediction`` path,
+        ``feature_tracker.cpp:118-133``)."""
+        self.predict_pts = dict(pts_px)
 
     def _undistort(self, pts: np.ndarray) -> np.ndarray:
         if len(pts) == 0:
@@ -52,9 +59,14 @@ class FeatureTracker:
         rays = pinhole_lift_projective(self.cam, jnp.asarray(pts))
         return np.asarray(rays[:, 0:2])
 
-    def track(self, t: float, img: np.ndarray, depth: Optional[np.ndarray] = None
-              ) -> dict[int, FrameFeature]:
-        """Track into the new frame, refill, and emit the feature map."""
+    def track(self, t: float, img: np.ndarray, depth: Optional[np.ndarray] = None,
+              boxes: Optional[np.ndarray] = None) -> dict[int, FrameFeature]:
+        """Track into the new frame, refill, and emit the feature map.
+
+        ``boxes`` ([N,4] xyxy px) are dynamic-object detections; features
+        inside any box are culled (``trackImagebox``,
+        ``feature_tracker.cpp:564-606``).
+        """
         img_j = jnp.asarray(img, jnp.float32)
         cur_pyr = tuple(build_pyramid(img_j, self.levels))
         dt = (t - self.prev_t) if self.prev_t is not None else 0.0
@@ -63,15 +75,34 @@ class FeatureTracker:
             n = len(self.prev_pts)
             pad = self.max_cnt - n
             pp = np.pad(self.prev_pts, ((0, pad), (0, 0)))
+            # prediction-seeded LK (feature_tracker.cpp:118-133)
+            seed = pp.copy()
+            h, w = img.shape[:2]
+            for i, fid in enumerate(self.ids):
+                p = self.predict_pts.get(int(fid))
+                if p is not None and 0 <= p[0] < w and 0 <= p[1] < h:
+                    seed[i] = p
             valid = np.zeros(self.max_cnt, bool)
             valid[:n] = True
             fwd, ok = track_bidirectional(
-                self.prev_pyr, cur_pyr, jnp.asarray(pp), jnp.asarray(pp),
+                self.prev_pyr, cur_pyr, jnp.asarray(pp), jnp.asarray(seed),
                 jnp.asarray(valid), self.levels, self.half, self.iters,
                 self.fb_thresh,
             )
             fwd = np.asarray(fwd)[:n]
             ok = np.asarray(ok)[:n]
+            # overexposure cull: drop features landing on saturated pixels
+            # (grey > 250; feature_tracker.cpp:155-168)
+            xi = np.clip(fwd[:, 0].astype(np.int32), 0, w - 1)
+            yi = np.clip(fwd[:, 1].astype(np.int32), 0, h - 1)
+            ok = ok & (np.asarray(img, np.float32)[yi, xi] <= 250.0)
+            # dynamic-object cull (trackImagebox, feature_tracker.cpp:564-606)
+            if boxes is not None and len(boxes) > 0:
+                inside = (
+                    (fwd[:, 0:1] >= boxes[None, :, 0]) & (fwd[:, 0:1] <= boxes[None, :, 2])
+                    & (fwd[:, 1:2] >= boxes[None, :, 1]) & (fwd[:, 1:2] <= boxes[None, :, 3])
+                ).any(axis=1)
+                ok = ok & ~inside
             # keep survivors, longest tracks first (feature_tracker.cpp:60-83)
             self.prev_pts = fwd[ok]
             self.ids = self.ids[ok]
@@ -133,4 +164,5 @@ class FeatureTracker:
         self.prev_pyr = cur_pyr
         self.prev_norm = norm
         self.prev_t = t
+        self.predict_pts = {}
         return feats

@@ -16,3 +16,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compile cache: the estimator tests compile large f64 window
+# programs; cache them on disk so re-runs of the suite skip XLA compilation.
+# (Harmless machine-feature E-logs from the CPU AOT loader are expected.)
+_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_compile_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

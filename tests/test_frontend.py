@@ -103,6 +103,60 @@ def test_refill_respects_min_dist():
     assert dd.min() > 20
 
 
+def _make_tracker(max_cnt=48):
+    from ground_fusion_tpu.cameras.models import PinholeParams
+    from ground_fusion_tpu.frontend.tracker import FeatureTracker
+
+    cam = PinholeParams(fx=100.0, fy=100.0, cx=80.0, cy=60.0,
+                        k1=0.0, k2=0.0, p1=0.0, p2=0.0)
+    return FeatureTracker(cam, max_cnt=max_cnt, min_dist=12)
+
+
+def test_tracker_culls_overexposed_and_boxed():
+    """Tracked features landing on saturated pixels or inside dynamic-object
+    boxes must be dropped (feature_tracker.cpp:155-168, :564-606)."""
+    tk = _make_tracker()
+    img0 = _texture()
+    feats0 = tk.track(0.0, img0)
+    assert len(feats0) >= 16
+    img1 = _shift(img0, 1.0, 0.5)
+    # saturate a patch; any feature tracked into it must disappear
+    img1[20:60, 20:60] = 255.0
+    ids_in_sat = {int(f) for f, p in zip(tk.ids, tk.prev_pts)
+                  if 21 <= p[0] + 1 < 59 and 21 <= p[1] + 0.5 < 59}
+    box = np.array([[100.0, 10.0, 150.0, 60.0]])
+    ids_in_box = {int(f) for f, p in zip(tk.ids, tk.prev_pts)
+                  if 100 <= p[0] + 1 <= 150 and 10 <= p[1] + 0.5 <= 60}
+    feats1 = tk.track(1.0 / 30, img1, boxes=box)
+    survivors = set(feats1.keys())
+    assert ids_in_sat and not (ids_in_sat & survivors)
+    assert ids_in_box and not (ids_in_box & survivors)
+
+
+def test_tracker_prediction_seeding_recovers_large_motion():
+    """With a good prediction the LK solve must lock on even when the true
+    motion exceeds what the pyramid can absorb unaided
+    (hasPrediction path, feature_tracker.cpp:118-133)."""
+    tk = _make_tracker()
+    img0 = _texture(seed=5)
+    tk.track(0.0, img0)
+    dx, dy = 17.0, -11.0   # far beyond the 3-level pyramid's pull-in range
+    img1 = _shift(img0, dx, dy)
+
+    blind = _make_tracker()
+    blind.track(0.0, img0)
+    blind_old = set(int(i) for i in blind.ids)
+    n_blind = len(blind_old & set(blind.track(1.0 / 30, img1).keys()))
+
+    tk.set_prediction({int(f): (p[0] + dx, p[1] + dy)
+                       for f, p in zip(tk.ids, tk.prev_pts)})
+    old_ids = set(int(i) for i in tk.ids)
+    feats = tk.track(1.0 / 30, img1)
+    n_seeded = len(old_ids & set(feats.keys()))
+    assert n_seeded >= 10
+    assert n_seeded > n_blind
+
+
 def test_sample_depth_nearest():
     depth = np.zeros((10, 12), np.float32)
     depth[4, 7] = 2.5
