@@ -28,6 +28,7 @@ from .factors import (
     cauchy_weight,
     imu_factor,
     plane_factor,
+    pose_anchor_factor,
     proj21_factor,
     wheel_factor,
 )
@@ -226,6 +227,17 @@ def linearize_plane(state: WindowState, frame_valid: jax.Array, sqrt_info_diag,
     return rows_to_dense(J, col_idx, r, frame_valid, layout.total)
 
 
+def linearize_pose_anchor(state: WindowState, anchor_pose: jax.Array,
+                          active: jax.Array, layout: StateLayout):
+    """Pose0 anchor rows, gated by ``active`` (estimator.cpp:2943-2951 adds
+    this at the first GNSS-enabled solve; :3562-3570 seeds the very first
+    marginalization prior with it)."""
+    r, J6 = pose_anchor_factor(state.poses[0], anchor_pose)
+    w = active.astype(state.poses.dtype)
+    Jd = jnp.zeros((6, layout.total), state.poses.dtype).at[:, :6].set(J6 * w)
+    return Jd, r * w
+
+
 def linearize_prior(state: WindowState, prior: MargPrior, layout: StateLayout):
     """Marginalization prior rows: r = r0 + J0 (x ⊟ lin), J = J0 — embedded
     in the first NX columns (marginalization_factor.cpp:344-392)."""
@@ -260,6 +272,9 @@ class SolveInputs(NamedTuple):
     gnss_ready: jax.Array | None = None   # [] bool — gnss_ready gate
     frame_dts: jax.Array | None = None    # [F] Δt between adjacent frames
     ddt_weight: jax.Array | None = None   # [] GNSS_DDT_WEIGHT
+    # --- pose0 anchor (first GNSS-enabled solve, estimator.cpp:2943-2951) ---
+    anchor_pose: jax.Array | None = None  # [7] anchor value for pose0
+    anchor_active: jax.Array | None = None  # [] bool
 
 
 def assemble_rows(state: WindowState, tracks: Tracks, inp: SolveInputs,
@@ -280,6 +295,9 @@ def assemble_rows(state: WindowState, tracks: Tracks, inp: SolveInputs,
         rows.append(linearize_gnss_psr_dopp(state, inp.gnss_obs, inp.gnss_ready, layout))
         rows.append(linearize_clock_chain(state, inp.frame_dts, inp.gnss_ready,
                                           inp.ddt_weight, layout))
+    if inp.anchor_pose is not None:
+        rows.append(linearize_pose_anchor(state, inp.anchor_pose,
+                                          inp.anchor_active, layout))
     J = jnp.concatenate([a for a, _ in rows], axis=0)
     r = jnp.concatenate([b for _, b in rows], axis=0)
     return J * inp.free_mask[None, :], r
@@ -381,4 +399,13 @@ def assemble_residuals(state: WindowState, tracks: Tracks, inp: SolveInputs,
         _, rc = linearize_clock_chain(state, inp.frame_dts, inp.gnss_ready,
                                       inp.ddt_weight, layout)
         parts.extend([rg, rc])
+
+    # pose0 anchor
+    if inp.anchor_pose is not None:
+        from .factors import pose_anchor_residual_raw, POSE_ANCHOR_SQRT_INFO
+
+        ra = POSE_ANCHOR_SQRT_INFO * pose_anchor_residual_raw(
+            state.poses[0], inp.anchor_pose
+        )
+        parts.append(ra * inp.anchor_active.astype(dtype))
     return jnp.concatenate(parts)

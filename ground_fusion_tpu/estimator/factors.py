@@ -197,6 +197,86 @@ def plane_factor(pose_i, ex_io, q_pw, z_pw, sqrt_info_diag):
 
 
 # ---------------------------------------------------------------------------
+# Anchor / prior factors
+# (factor/pose_anchor_factor.{h,cpp}, initial_pose_factor.h,
+#  initial_bias_factor.h, pos_vel_factor.{hpp,cpp}, motion_factor.h)
+# ---------------------------------------------------------------------------
+
+POSE_ANCHOR_SQRT_INFO = 120.0  # pose_anchor_factor.h:18
+
+
+def pose_anchor_residual_raw(pose, anchor):
+    """pose_anchor_factor.cpp:12-16: r = [p − p̂; 2·vec(q ⊗ q̂⁻¹)]."""
+    r_p = trans(pose) - trans(anchor)
+    r_q = 2.0 * quat_mul(rot(pose), quat_conj(rot(anchor)))[1:4]
+    return jnp.concatenate([r_p, r_q])
+
+
+def pose_anchor_factor(pose, anchor, sqrt_info=POSE_ANCHOR_SQRT_INFO):
+    """Whitened (r[6], J[6,6]) against δpose. The reference adds this on
+    pose0 at the first GNSS-enabled solve (estimator.cpp:2943-2951) and as
+    the SEED of the very first marginalization prior, i.e. when no prior
+    exists yet (estimator.cpp:3562-3570)."""
+
+    def r_of(d):
+        return sqrt_info * pose_anchor_residual_raw(pose_boxplus(pose, d), anchor)
+
+    z = jnp.zeros(6, dtype=pose.dtype)
+    return r_of(z), jax.jacfwd(r_of)(z)
+
+
+def initial_pose_factor(pose, init_pose, sqrt_info=1000.0):
+    """initial_pose_factor.h:22-54: r = 1000·[p − p̂; 2·vec(q̂⁻¹ ⊗ q)]
+    → (r[6], J[6,6]). (Shipped but unreferenced in the estimator build.)"""
+
+    def r_of(d):
+        p = pose_boxplus(pose, d)
+        r_p = trans(p) - trans(init_pose)
+        r_q = 2.0 * quat_mul(quat_conj(rot(init_pose)), rot(p))[1:4]
+        return sqrt_info * jnp.concatenate([r_p, r_q])
+
+    z = jnp.zeros(6, dtype=pose.dtype)
+    return r_of(z), jax.jacfwd(r_of)(z)
+
+
+def initial_bias_factor(sb, init_ba, init_bg, sqrt_info=1000.0):
+    """initial_bias_factor.h:24-52: r = (1/0.001)·[ba − b̂a; bg − b̂g] against
+    the 9-dim speed-bias tangent → (r[6], J[6,9])."""
+
+    def r_of(d):
+        s = sb + d
+        return sqrt_info * jnp.concatenate([s[3:6] - init_ba, s[6:9] - init_bg])
+
+    z = jnp.zeros(9, dtype=sb.dtype)
+    return r_of(z), jax.jacfwd(r_of)(z)
+
+
+def pos_vel_factor(pose_i, pose_j, sb_i, sb_j, dt, info_coeff=50.0):
+    """pos_vel_factor.cpp:5-46: r = 50·(p_j − p_i − ½(v_i + v_j)·Δt) against
+    tangent [δpose_i(6), δpose_j(6), δsb_i(9), δsb_j(9)] → (r[3], J[3,30])."""
+
+    def r_of(d):
+        pi = pose_boxplus(pose_i, d[0:6])
+        pj = pose_boxplus(pose_j, d[6:12])
+        vi = (sb_i + d[12:21])[0:3]
+        vj = (sb_j + d[21:30])[0:3]
+        return info_coeff * (trans(pj) - trans(pi) - 0.5 * (vi + vj) * dt)
+
+    z = jnp.zeros(30, dtype=pose_i.dtype)
+    return r_of(z), jax.jacfwd(r_of)(z)
+
+
+def motion_factor(pose_i, pose_j, sb_i):
+    """motion_factor.h:21-56 parity stub. The reference's MotionFactor
+    (<2,7,7,9,3>, added when use_motion, estimator.cpp:3173) never writes its
+    residual and zeroes every Jacobian — a deliberate no-op in the released
+    code. Kept as an explicit zero factor so the `use_motion` toggle has a
+    visible counterpart rather than being silently absorbed."""
+    dtype = pose_i.dtype
+    return jnp.zeros(2, dtype), jnp.zeros((2, 21), dtype)
+
+
+# ---------------------------------------------------------------------------
 # Robust loss (Cauchy, as used via ceres::CauchyLoss on visual factors)
 # ---------------------------------------------------------------------------
 

@@ -30,6 +30,7 @@ from .assembly import (
     SolveInputs,
     linearize_imu,
     linearize_plane,
+    linearize_pose_anchor,
     linearize_prior,
     linearize_visual,
     linearize_wheel,
@@ -96,7 +97,10 @@ def marginalize_old(
     )
     Jp, rp = linearize_plane(state, inp.plane_valid & only0, plane_sqrt_info, layout)
     Jm, rm = linearize_prior(state, inp.prior, layout)
-    rows = [(Ji, ri), (Jw, rw), (Jv, rv), (Jp, rp), (Jm, rm)]
+    # very first marginalization (no prior yet): seed with a pose0 anchor at
+    # its current value instead of the prior factor (estimator.cpp:3562-3570)
+    Ja, ra = linearize_pose_anchor(state, state.poses[0], ~inp.prior.valid, layout)
+    rows = [(Ji, ri), (Jw, rw), (Jv, rv), (Jp, rp), (Jm, rm), (Ja, ra)]
     if inp.gnss_obs is not None:
         # GNSS factors of the dropped frame: slot-0 epochs + clock pair (0,1)
         # (estimator.cpp:3398-3434)

@@ -57,6 +57,9 @@ class StepFlags(NamedTuple):
     frame_dts: jax.Array | None = None    # [F] Δt between adjacent frames
     fix_yaw_enu: jax.Array | None = None  # [] bool — low-speed yaw freeze
                                           # (estimator.cpp:2904-2930)
+    first_gnss_opt: jax.Array | None = None  # [] bool — first GNSS-enabled
+                                          # solve anchors pose0 at its entry
+                                          # value (estimator.cpp:2943-2951)
 
 
 class EstimatorCore(NamedTuple):
@@ -150,6 +153,12 @@ def make_window_step(cfg: Config):
             gnss_ready=flags.gnss_ready if use_gnss else None,
             frame_dts=flags.frame_dts if use_gnss else None,
             ddt_weight=jnp.asarray(cfg.gnss.ddt_weight, dtype) if use_gnss else None,
+            anchor_pose=state.poses[0] if use_gnss else None,
+            anchor_active=(
+                (flags.first_gnss_opt if flags.first_gnss_opt is not None
+                 else jnp.asarray(False))
+                if use_gnss else None
+            ),
         )
         params = SolverParams(
             sqrt_info_scale=jnp.asarray(cfg.solver.focal / 1.5, dtype),

@@ -26,6 +26,15 @@ from .coords import EARTH_OMG, LIGHT_SPEED, WGS84_A, WGS84_E2
 
 PSR_TO_DOPP_RATIO = 5.0
 DT_INFO_COEFF = 50.0
+DT_ANCHOR_COEFF = 1000.0  # gnss_dt_anchor_factor.hpp:12
+
+
+def dt_anchor_factor(rcv_dt, coeff: float = DT_ANCHOR_COEFF):
+    """gnss_dt_anchor_factor.cpp:5-18: anchor a receiver clock bias to 0 —
+    r = dt·coeff, J = coeff. (Shipped but unreferenced in the estimator
+    build; provided for factor-library parity.)"""
+    r = jnp.atleast_1d(rcv_dt * coeff)
+    return r, jnp.full((1, 1), coeff, dtype=r.dtype)
 RELATIVE_SQRT_INFO = 10.0
 
 

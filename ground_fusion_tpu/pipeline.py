@@ -85,6 +85,7 @@ class Estimator:
         except Exception:
             self.native = None
         self.gnss_aligned = False
+        self._first_gnss_opt = True   # estimator.cpp:152 (reset by clearState)
         self._pending_gnss: Optional[list] = None
         self.solver_flag = self.INITIAL
         self.frame_count = 0              # frames currently occupied (fill phase)
@@ -585,6 +586,7 @@ class Estimator:
         self.free_slots = list(range(ml))
         self.all_imu_window = []
         self.gnss_aligned = False
+        self._first_gnss_opt = True   # estimator.cpp:152
         self.reboots = getattr(self, "reboots", 0) + 1
 
     def _attach_gnss_epoch(self):
@@ -697,7 +699,9 @@ class Estimator:
             gnss_ready=jnp.asarray(self.gnss_aligned),
             frame_dts=jnp.asarray(frame_dts[:f], self.dtype),
             fix_yaw_enu=jnp.asarray(speed < self.cfg.gnss.low_speed_yaw_fix),
+            first_gnss_opt=jnp.asarray(self._first_gnss_opt),
         )
+        self._first_gnss_opt = False
         core_new, out = self.step_fn(self.core, flags)
         self.core = core_new
         self._fp = None   # fastPredict re-seeds from the fresh optimized state

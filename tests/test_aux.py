@@ -91,3 +91,37 @@ def test_output_writers(tmp_path):
     assert (tmp_path / "wheel.txt").read_text().count("\n") == 5
     line = print_statistics(1.0, st, 0.5)
     assert "t=1.00" in line
+
+
+def test_wheel_odom_pose_buffer():
+    """SURVEY §2 #24: planar interpolation + frame-pose seeding
+    (feature_manager.cpp:407-545)."""
+    import numpy as np
+    from ground_fusion_tpu.utils.wheel_odom import WheelOdomPoseBuffer, WHEEL2CAM
+
+    buf = WheelOdomPoseBuffer(tio=np.zeros(3))
+    # straight-line drive along +x with constant yaw = 0
+    for k in range(5):
+        buf.push(0.1 * k, [0.5 * k, 0.0, 0.0], qz=0.0, qw=1.0)
+    out = buf.pose_by_wheel_odom(0.25)
+    assert out is not None
+    P, Rcam = out
+    np.testing.assert_allclose(P, [1.25, 0.0, 0.0], atol=1e-12)
+    np.testing.assert_allclose(Rcam, WHEEL2CAM, atol=1e-12)
+    # out-of-span lookups are rejected
+    assert buf.pose_by_wheel_odom(-1.0) is None
+    assert buf.pose_by_wheel_odom(9.0) is None
+    # 90° yaw: qz = qw = √2/2 → x_world axis maps to +y
+    buf2 = WheelOdomPoseBuffer()
+    s = np.sqrt(0.5)
+    buf2.push(0.0, [0.0, 0.0, 0.0], qz=s, qw=s)
+    buf2.push(1.0, [0.0, 1.0, 0.0], qz=s, qw=s)
+    P2, R2 = buf2.pose_by_wheel_odom(0.5)
+    np.testing.assert_allclose(P2, [0.0, 0.5, 0.0], atol=1e-12)
+    np.testing.assert_allclose(R2 @ WHEEL2CAM.T,
+                               [[0, -1, 0], [1, 0, 0], [0, 0, 1]], atol=1e-12)
+    # init_frame_pose: identity extrinsics → same pose back in IMU frame
+    seed = buf.init_frame_pose(0.25, np.zeros(3), WHEEL2CAM)
+    assert seed is not None
+    np.testing.assert_allclose(seed[0], [1.25, 0.0, 0.0], atol=1e-12)
+    np.testing.assert_allclose(seed[1], np.eye(3), atol=1e-12)

@@ -157,7 +157,8 @@ def test_marginalization_matches_dense_schur(problem):
     # dense reference: assemble the same subset, eliminate depth cols of
     # anchored-at-0 landmarks + frame-0 block with plain linear algebra
     from ground_fusion_tpu.estimator.assembly import (
-        linearize_imu as li, linearize_visual as lv, linearize_wheel as lw,
+        linearize_imu as li, linearize_pose_anchor as la, linearize_visual as lv,
+        linearize_wheel as lw,
     )
     only1 = jnp.arange(f) == 1
     Ji, ri = li(state, problem["imu_pre"], inp.imu_valid & only1, problem["g"], layout)
@@ -165,8 +166,11 @@ def test_marginalization_matches_dense_schur(problem):
     anchored0 = tracks.active & (tracks.start_frame == 0)
     Jv, rv = lv(state, tracks, inp.td_obs, layout,
                 jnp.asarray(460.0 / 1.5, DT), jnp.asarray(1.0, DT), lm_filter=anchored0)
-    J = np.asarray(jnp.concatenate([Ji, Jw, Jv]) * inp.free_mask[None, :])
-    r = np.asarray(jnp.concatenate([ri, rw, rv]))
+    # first marginalization has no prior → pose0 anchor seed
+    # (estimator.cpp:3562-3570)
+    Ja, ra = la(state, state.poses[0], jnp.asarray(True), layout)
+    J = np.asarray(jnp.concatenate([Ji, Jw, Jv, Ja]) * inp.free_mask[None, :])
+    r = np.asarray(jnp.concatenate([ri, rw, rv, ra]))
 
     H = J.T @ J
     b = J.T @ r
