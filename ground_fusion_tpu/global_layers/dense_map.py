@@ -69,8 +69,8 @@ class VoxelColorMap:
         w = valid.astype(jnp.int32)
         counts = counts.at[idx].add(w)
         wf = valid.astype(color_sum.dtype)[:, None]
-        color_sum = color_sum.at[idx].add(rgb * wf)
-        pos_sum = pos_sum.at[idx].add(pts_w * wf)
+        color_sum = color_sum.at[idx].add(rgb.astype(color_sum.dtype) * wf)
+        pos_sum = pos_sum.at[idx].add(pts_w.astype(pos_sum.dtype) * wf)
         return counts, color_sum, pos_sum
 
     def insert(self, pts_w, rgb, valid):
