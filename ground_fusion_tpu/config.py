@@ -109,6 +109,9 @@ class SolverConfig:
     max_landmarks: int = 128          # active landmark slots in the BA
     max_obs_per_frame: int = 128
     max_iters: int = 8                # NUM_ITERATIONS
+    # trust-region strategy: "dogleg" = ceres DOGLEG (estimator.cpp:3306),
+    # "lm" = Levenberg–Marquardt damping
+    method: str = "lm"
     lm_lambda0: float = 1e-4
     lm_lambda_factor: float = 3.0
     focal: float = 460.0              # FOCAL_LENGTH used for sqrt_info = F/1.5
@@ -137,6 +140,24 @@ class InitConfig:
     stationary_acc_var: float = 0.1       # checkimu gate (estimator.cpp:870)
     stationary_parallax: float = 0.5      # checkvisual: parallax*focal < 0.5px
     wheel_stationary_dp: float = 1e-3
+
+
+@dataclass(frozen=True)
+class LineFeatureConfig:
+    """Structural-line landmarks (``use_line``; linefeatureTracker +
+    estimator.cpp:4202-4712)."""
+
+    max_lines: int = 32               # padded line-landmark slots in the BA
+    min_obs: int = 5                  # LINE_MIN_OBS (parameters.h:26)
+    min_cos_theta: float = 0.998      # triangulation parallax gate
+                                      # (feature_manager.cpp:1236)
+    only_opt_iters: int = 4           # onlyLineOpt GN iterations
+    # line-factor weight relative to point factors (the reference ships
+    # sqrt_info = F/1.5 like points but carries a commented adaptive
+    # down-weighting experiment, estimator.cpp:4540-4543)
+    weight_scale: float = 1.0
+    outlier_reproj_px: float = 3.0    # removeLineOutlier max-residual gate
+    min_seg_len_px: float = 60.0      # detector min segment length
 
 
 @dataclass(frozen=True)
@@ -182,6 +203,7 @@ class Config:
     tracker: TrackerConfig = field(default_factory=TrackerConfig)
     solver: SolverConfig = field(default_factory=SolverConfig)
     init: InitConfig = field(default_factory=InitConfig)
+    lines: LineFeatureConfig = field(default_factory=LineFeatureConfig)
     loop: LoopConfig = field(default_factory=LoopConfig)
     map: MapConfig = field(default_factory=MapConfig)
     use_depth: bool = False           # RGBD depth-aided triangulation

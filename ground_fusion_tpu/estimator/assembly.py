@@ -275,6 +275,10 @@ class SolveInputs(NamedTuple):
     # --- pose0 anchor (first GNSS-enabled solve, estimator.cpp:2943-2951) ---
     anchor_pose: jax.Array | None = None  # [7] anchor value for pose0
     anchor_active: jax.Array | None = None  # [] bool
+    # --- optional line landmarks (None ⇒ line factors compiled out) ---
+    lines: object = None                  # estimator.lines.LineTracks | None
+    line_min_obs: int = 5                 # LINE_MIN_OBS (static)
+    line_weight: float = 1.0              # lines.weight_scale (static)
 
 
 def assemble_rows(state: WindowState, tracks: Tracks, inp: SolveInputs,
@@ -298,6 +302,12 @@ def assemble_rows(state: WindowState, tracks: Tracks, inp: SolveInputs,
     if inp.anchor_pose is not None:
         rows.append(linearize_pose_anchor(state, inp.anchor_pose,
                                           inp.anchor_active, layout))
+    if inp.lines is not None:
+        from .lines import linearize_lines
+
+        rows.append(linearize_lines(
+            state, inp.lines, layout, sqrt_info_scale * inp.line_weight,
+            cauchy_delta, min_obs=inp.line_min_obs))
     J = jnp.concatenate([a for a, _ in rows], axis=0)
     r = jnp.concatenate([b for _, b in rows], axis=0)
     return J * inp.free_mask[None, :], r
@@ -408,4 +418,12 @@ def assemble_residuals(state: WindowState, tracks: Tracks, inp: SolveInputs,
             state.poses[0], inp.anchor_pose
         )
         parts.append(ra * inp.anchor_active.astype(dtype))
+
+    # lines
+    if inp.lines is not None:
+        from .lines import line_residuals
+
+        parts.append(line_residuals(
+            state, inp.lines, sqrt_info_scale * inp.line_weight,
+            cauchy_delta, min_obs=inp.line_min_obs))
     return jnp.concatenate(parts)

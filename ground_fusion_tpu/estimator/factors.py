@@ -281,6 +281,14 @@ def motion_factor(pose_i, pose_j, sb_i):
 # ---------------------------------------------------------------------------
 
 
+def huber_weight(sq_norm: jax.Array, delta: float) -> jax.Array:
+    """Row-reweighting sqrt(ρ'(s)) for the Huber loss (the
+    ``ceres::HuberLoss(1.0)`` on line factors, estimator.cpp:4465)."""
+    d2 = delta * delta
+    s = jnp.maximum(sq_norm, 1e-18)
+    return jnp.sqrt(jnp.where(s <= d2, 1.0, delta / jnp.sqrt(s)))
+
+
 def cauchy_weight(sq_norm: jax.Array, delta: float) -> jax.Array:
     """Row-reweighting sqrt(ρ'(s)) for the Cauchy loss ρ(s)=δ²log(1+s/δ²).
 

@@ -26,6 +26,7 @@ PER_FRAME = 15  # 6 pose + 9 speed-bias
 class StateLayout:
     num_frames: int        # window_size + 1
     max_landmarks: int
+    max_lines: int = 0     # 4-dim orthonormal line blocks after the depths
 
     @property
     def ex_cam(self) -> int:
@@ -83,8 +84,13 @@ class StateLayout:
         return self.nx
 
     @property
-    def total(self) -> int:
+    def line0(self) -> int:
+        """First line column (4 per line, after the landmark depths)."""
         return self.nx + self.max_landmarks
+
+    @property
+    def total(self) -> int:
+        return self.nx + self.max_landmarks + 4 * self.max_lines
 
     def pose(self, k: int) -> int:
         return PER_FRAME * k

@@ -78,12 +78,19 @@ def marginalize_old(
     sqrt_info_scale,
     cauchy_delta,
     plane_sqrt_info,
+    lines=None,
 ) -> MargPrior:
     """Drop frame 0 (pose+speed-bias) and the depths of landmarks anchored
     there; return the prior already permuted into the POST-slide layout with
-    the post-slide linearization point (``estimator.cpp:3334-3535``)."""
+    the post-slide linearization point (``estimator.cpp:3334-3535``).
+
+    When ``lines`` is given, line factors of lines anchored at frame 0 join
+    the dropped subset with their 4-dim orthonormal blocks eliminated
+    (``estimator.cpp:4680-4712`` — drop set ``{2}``, observations at the
+    dropped frame itself are skipped outright)."""
     f = state.poses.shape[0]
     nx = layout.nx
+    ml = layout.max_landmarks
     dtype = state.poses.dtype
 
     only1 = (jnp.arange(f) == 1)
@@ -111,10 +118,20 @@ def marginalize_old(
         rows.append(linearize_clock_chain(
             state, inp.frame_dts, inp.gnss_ready, inp.ddt_weight, layout,
             pair_filter=only1))
+    if lines is not None:
+        # line factors of frame-0 lines; the frame-0 observation itself is
+        # skipped (drop_set={2} only — estimator.cpp:4690-4699)
+        from .lines import linearize_lines
+
+        line0 = lines.active & (lines.start_frame == 0)
+        rows.append(linearize_lines(
+            state, lines, layout, sqrt_info_scale * inp.line_weight,
+            cauchy_delta, min_obs=inp.line_min_obs, lm_filter=line0,
+            frame_filter=jnp.arange(f) >= 1))
     J = jnp.concatenate([a for a, _ in rows], axis=0) * inp.free_mask[None, :]
     r = jnp.concatenate([b for _, b in rows], axis=0)
 
-    Jc, Jl = J[:, :nx], J[:, nx:]
+    Jc, Jl = J[:, :nx], J[:, nx : nx + ml]
     Hcc = Jc.T @ Jc
     bc = Jc.T @ r
     Hll = jnp.sum(Jl * Jl, axis=0)                      # depth blocks are scalars
@@ -123,6 +140,18 @@ def marginalize_old(
     w = jnp.where(Hll > 1e-8, 1.0 / jnp.where(Hll > 1e-8, Hll, 1.0), 0.0)
     Hred = Hcc - (Hcl * w[None, :]) @ Hcl.T             # batched rank-1 down-dates
     bred = bc - Hcl @ (w * bl)
+
+    if layout.max_lines > 0:
+        # 4-dim line blocks: batched 4×4 block down-dates. No factor row
+        # touches both a depth and a line column, so eliminating depths then
+        # lines independently is exact.
+        Jn = J[:, nx + ml :].reshape(J.shape[0], layout.max_lines, 4)
+        Hnn = jnp.einsum("rla,rlb->lab", Jn, Jn)        # [LL,4,4]
+        Hcn = jnp.einsum("rc,rla->lca", Jc, Jn)         # [LL,NX,4]
+        bn = jnp.einsum("rla,r->la", Jn, r)             # [LL,4]
+        inv = jax.vmap(_clipped_pinv)(Hnn)
+        Hred = Hred - jnp.einsum("lca,lab,ldb->cd", Hcn, inv, Hcn)
+        bred = bred - jnp.einsum("lca,lab,lb->c", Hcn, inv, bn)
 
     # drop set: pose0+sb0 tangent (15) + frame-0 GNSS clock dt (4) and ddt (1)
     # (estimator.cpp:3351-3420 drop_set construction)

@@ -1,10 +1,17 @@
-"""Fixed-iteration Levenberg–Marquardt window solver.
+"""Fixed-iteration trust-region window solvers (LM and Powell dogleg).
 
 Replaces Ceres ``DENSE_SCHUR``+``DOGLEG`` with ≤8-iteration / 40 ms budget
-(``estimator.cpp:3303-3318``) by a trust-region LM scan: always relinearize at
-the current accepted state, solve the damped dense normal equations (one
-Cholesky of a ~300×300 system), accept/reject by cost, adapt λ — every
-iteration identical in shape so the whole solve is one ``lax.scan`` under jit.
+(``estimator.cpp:3303-3318``) by a trust-region scan: always relinearize at
+the current accepted state, solve the dense normal equations (one Cholesky of
+a ~300×300 system), accept/reject by cost, adapt the region — every iteration
+identical in shape so the whole solve is one ``lax.scan`` under jit. Two
+strategies, selected statically (``SolverConfig.method``):
+
+- ``lm`` — Levenberg–Marquardt with multiplicative damping;
+- ``dogleg`` — Powell's dogleg matching Ceres'
+  ``trust_region_strategy_type = DOGLEG`` (``estimator.cpp:3306``): blend the
+  Gauss–Newton step with the Cauchy (steepest-descent) point inside an
+  adaptive radius, gain-ratio controlled.
 
 Gauge handling matches ``double2vector`` (``estimator.cpp:2440-2569``): after
 the solve, yaw and position of frame 0 are re-anchored to their pre-solve
@@ -51,6 +58,33 @@ def _solve_delta(H, g, lam, free_mask):
     return delta * free_mask
 
 
+def _dogleg_step(H, g, free_mask, h_gn, radius):
+    """Powell dogleg inside ``radius``: GN step if it fits, else the blend of
+    the Cauchy point and GN on the trust boundary."""
+    gm = g * free_mask
+    gHg = gm @ (H @ gm)
+    alpha = jnp.where(gHg > 1e-12, (gm @ gm) / jnp.maximum(gHg, 1e-12), 0.0)
+    h_sd = -alpha * gm
+    n_gn = jnp.linalg.norm(h_gn)
+    n_sd = jnp.linalg.norm(h_sd)
+
+    # boundary blend h_sd + beta (h_gn − h_sd) with |h| = radius
+    d = h_gn - h_sd
+    a = jnp.maximum(d @ d, 1e-18)
+    b = h_sd @ d
+    c = h_sd @ h_sd - radius * radius
+    disc = jnp.maximum(b * b - a * c, 0.0)
+    beta = (-b + jnp.sqrt(disc)) / a
+    h_blend = h_sd + jnp.clip(beta, 0.0, 1.0) * d
+
+    h_sd_clip = h_sd * (radius / jnp.maximum(n_sd, 1e-12))
+    h = jnp.where(
+        n_gn <= radius, h_gn,
+        jnp.where(n_sd >= radius, h_sd_clip, h_blend),
+    )
+    return h * free_mask
+
+
 def solve_window(
     state: WindowState,
     tracks: Tracks,
@@ -58,69 +92,106 @@ def solve_window(
     layout: StateLayout,
     params: SolverParams,
     num_iters: int = 8,
+    lines=None,
+    method: str = "lm",
 ):
     """Run LM for ``num_iters`` fixed iterations; returns (state', tracks',
-    final_cost). Landmark depths update jointly through the trailing columns.
+    final_cost) — or (state', tracks', lines', final_cost) when ``lines`` is
+    given. Landmark depths (and line orthonormal blocks, when present) update
+    jointly through the trailing columns.
     """
     nx = layout.nx
+    ml = layout.max_landmarks
+    with_lines = lines is not None
 
-    def apply_delta(st: WindowState, tr: Tracks, delta):
+    def apply_delta(st: WindowState, tr: Tracks, ln, delta):
         st2 = retract(st, delta[:nx], layout)
-        inv2 = tr.inv_depth + delta[nx:]
-        return st2, tr._replace(inv_depth=inv2)
+        inv2 = tr.inv_depth + delta[nx : nx + ml]
+        ln2 = ln._replace(orth=ln.orth + delta[nx + ml :].reshape(-1, 4)) \
+            if with_lines else ln
+        return st2, tr._replace(inv_depth=inv2), ln2
 
-    def lin_cost(st, tr):
+    def lin_cost(st, tr, ln):
         J, r = assemble_rows(
-            st, tr, inp, layout, params.sqrt_info_scale, params.cauchy_delta,
+            st, tr, inp._replace(lines=ln) if with_lines else inp,
+            layout, params.sqrt_info_scale, params.cauchy_delta,
             params.plane_sqrt_info,
         )
         return J, r, _cost(J, r)
 
-    def cost_only(st, tr):
+    def cost_only(st, tr, ln):
         # residual-only probe (no Jacobian build) for LM accept/reject
         r = assemble_residuals(
-            st, tr, inp, layout, params.sqrt_info_scale, params.cauchy_delta,
+            st, tr, inp._replace(lines=ln) if with_lines else inp,
+            layout, params.sqrt_info_scale, params.cauchy_delta,
             params.plane_sqrt_info,
         )
         # frozen columns never move, so free_mask does not change r
         return 0.5 * jnp.sum(r * r)
 
     def step(carry, _):
-        st, tr, lam, _ = carry
-        J, r, c0 = lin_cost(st, tr)
+        st, tr, ln, reg, _ = carry
+        J, r, c0 = lin_cost(st, tr, ln)
         H, g = normal_equations(J, r)
-        delta = _solve_delta(H, g, lam, inp.free_mask)
-        st_new, tr_new = apply_delta(st, tr, delta)
-        c1 = cost_only(st_new, tr_new)
+        if method == "dogleg":
+            # Powell dogleg (ceres DOGLEG, estimator.cpp:3306): `reg` is the
+            # trust radius, gain-ratio controlled
+            h_gn = _solve_delta(H, g, jnp.zeros((), H.dtype), inp.free_mask)
+            delta = _dogleg_step(H, g, inp.free_mask, h_gn, reg)
+        else:
+            delta = _solve_delta(H, g, reg, inp.free_mask)
+        st_new, tr_new, ln_new = apply_delta(st, tr, ln, delta)
+        c1 = cost_only(st_new, tr_new, ln_new)
         accept = c1 < c0
         st = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), st, st_new)
         tr = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), tr, tr_new)
-        lam = jnp.where(accept, lam * params.lm_down, lam * params.lm_up)
-        lam = jnp.clip(lam, 1e-10, 1e6)
-        return (st, tr, lam, jnp.where(accept, c1, c0)), None
+        if with_lines:
+            ln = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), ln, ln_new)
+        if method == "dogleg":
+            pred = -(g @ delta + 0.5 * delta @ (H @ delta))
+            rho = (c0 - c1) / jnp.maximum(pred, 1e-18)
+            step_norm = jnp.linalg.norm(delta)
+            reg = jnp.where(
+                accept & (rho > 0.75), jnp.maximum(reg, 3.0 * step_norm),
+                jnp.where(accept & (rho >= 0.25), reg, reg * 0.5),
+            )
+            reg = jnp.clip(reg, 1e-8, 1e8)
+        else:
+            reg = jnp.where(accept, reg * params.lm_down, reg * params.lm_up)
+            reg = jnp.clip(reg, 1e-10, 1e6)
+        return (st, tr, ln, reg, jnp.where(accept, c1, c0)), None
 
-    lam0 = params.lm_lambda0
-    _, _, c_init = lin_cost(state, tracks)
-    (state, tracks, _, cost), _ = jax.lax.scan(
-        step, (state, tracks, lam0, c_init), None, length=num_iters
+    reg0 = (jnp.asarray(1.0, state.poses.dtype) if method == "dogleg"
+            else params.lm_lambda0)
+    _, _, c_init = lin_cost(state, tracks, lines)
+    (state, tracks, lines, _, cost), _ = jax.lax.scan(
+        step, (state, tracks, lines, reg0, c_init), None, length=num_iters
     )
+    if with_lines:
+        return state, tracks, lines, cost
     return state, tracks, cost
 
 
-def reanchor_yaw(state_before: WindowState, state_after: WindowState) -> WindowState:
-    """Undo the yaw/position gauge drift of the solve (``double2vector``,
-    ``estimator.cpp:2440-2569``): rotate the optimized window about the origin
-    so frame 0 recovers its pre-solve yaw and position."""
+def gauge_transform(state_before: WindowState, state_after: WindowState):
+    """The rigid yaw-gauge correction (R, t, q) with ``x' = R x + t`` that
+    restores frame 0's pre-solve yaw and position (``double2vector``,
+    ``estimator.cpp:2440-2569``)."""
     R0_before = quat_to_mat(state_before.poses[0, 3:7])
     R0_after = quat_to_mat(state_after.poses[0, 3:7])
     y_before = mat_to_ypr(R0_before)[0]
     y_after = mat_to_ypr(R0_after)[0]
     rot_diff = yaw_to_mat(y_before - y_after)
     q_diff = mat_to_quat(rot_diff)
+    t = state_before.poses[0, 0:3] - rot_diff @ state_after.poses[0, 0:3]
+    return rot_diff, t, q_diff
 
-    p0_after = state_after.poses[0, 0:3]
-    p0_before = state_before.poses[0, 0:3]
-    new_p = (rot_diff @ (state_after.poses[:, 0:3] - p0_after).T).T + p0_before
+
+def reanchor_yaw(state_before: WindowState, state_after: WindowState) -> WindowState:
+    """Undo the yaw/position gauge drift of the solve (``double2vector``,
+    ``estimator.cpp:2440-2569``): rotate the optimized window about the origin
+    so frame 0 recovers its pre-solve yaw and position."""
+    rot_diff, t, q_diff = gauge_transform(state_before, state_after)
+    new_p = (rot_diff @ state_after.poses[:, 0:3].T).T + t
     new_q = quat_normalize(quat_mul(q_diff, state_after.poses[:, 3:7]))
     new_v = (rot_diff @ state_after.sbs[:, 0:3].T).T
     sbs = state_after.sbs.at[:, 0:3].set(new_v)

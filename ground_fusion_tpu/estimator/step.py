@@ -32,7 +32,7 @@ from .buffers import (
 )
 from .layout import PER_FRAME, StateLayout
 from .marginalization import marginalize_old, marginalize_second_new
-from .solver import SolverParams, reanchor_yaw, solve_window
+from .solver import SolverParams, gauge_transform, reanchor_yaw, solve_window
 from .triangulation import triangulate_all
 from .window import (
     Tracks,
@@ -55,6 +55,11 @@ class StepFlags(NamedTuple):
     td_obs: jax.Array          # [F] td at capture per frame
     gnss_ready: jax.Array | None = None   # [] bool — GNSS-VI aligned
     frame_dts: jax.Array | None = None    # [F] Δt between adjacent frames
+    propagate_newest: jax.Array | None = None  # [] bool — IMU-propagate the
+                                          # fresh slot F-1 from F-2 before the
+                                          # solve (processIMU, estimator.cpp:
+                                          # 743-783); the slide leaves only a
+                                          # copy of the previous pose there
     fix_yaw_enu: jax.Array | None = None  # [] bool — low-speed yaw freeze
                                           # (estimator.cpp:2904-2930)
     first_gnss_opt: jax.Array | None = None  # [] bool — first GNSS-enabled
@@ -71,6 +76,7 @@ class EstimatorCore(NamedTuple):
     wheel_buf: WheelWindowBuffer
     prior: MargPrior
     gnss_obs: object = None    # gnss.factors.GnssObsWindow when GNSS enabled
+    lines: object = None       # estimator.lines.LineTracks when use_line
 
 
 def base_free_mask(cfg: Config, layout: StateLayout) -> np.ndarray:
@@ -97,7 +103,10 @@ def base_free_mask(cfg: Config, layout: StateLayout) -> np.ndarray:
 
 def make_window_step(cfg: Config):
     """Build the jitted window step specialized on the static config."""
-    layout = StateLayout(cfg.num_frames, cfg.solver.max_landmarks)
+    layout = StateLayout(
+        cfg.num_frames, cfg.solver.max_landmarks,
+        cfg.lines.max_lines if cfg.use_line else 0,
+    )
     f = cfg.num_frames
     base_mask = base_free_mask(cfg, layout)
 
@@ -125,12 +134,56 @@ def make_window_step(cfg: Config):
         wheel_pre = preintegrate_wheel_window(
             core.wheel_buf, state.s_wheel, state.td_wheel, n12
         )
+
+        if flags.propagate_newest is not None:
+            # seed slot F-1 by propagating F-2 through the newest IMU interval
+            # (the reference's processIMU runs before every processImage;
+            # after slideWindow the new slot holds only a stale copy)
+            from ..geometry.so3 import quat_mul, quat_normalize, quat_rotate
+
+            i, j = f - 2, f - 1
+            dt = imu_pre.sum_dt[j]
+            q_i = state.poses[i, 3:7]
+            p_pred = (
+                state.poses[i, 0:3] + state.sbs[i, 0:3] * dt
+                - 0.5 * g * dt * dt + quat_rotate(q_i, imu_pre.delta_p[j])
+            )
+            q_pred = quat_normalize(quat_mul(q_i, imu_pre.delta_q[j]))
+            v_pred = state.sbs[i, 0:3] - g * dt + quat_rotate(q_i, imu_pre.delta_v[j])
+            do_prop = flags.propagate_newest & flags.imu_valid[j]
+            poses = state.poses.at[j].set(jnp.where(
+                do_prop, jnp.concatenate([p_pred, q_pred]), state.poses[j]))
+            sbs = state.sbs.at[j, 0:3].set(jnp.where(do_prop, v_pred, state.sbs[j, 0:3]))
+            state = state._replace(poses=poses, sbs=sbs)
         wheel_valid = flags.wheel_valid if cfg.wheel.enabled else jnp.zeros(f, bool)
         plane_valid = (
             jnp.ones(f, bool) if cfg.plane.enabled else jnp.zeros(f, bool)
         )
 
         tracks = triangulate_all(state, tracks, depth_max=cfg.tracker.depth_max)
+
+        use_lines = cfg.use_line and core.lines is not None
+        lines = core.lines
+        if use_lines:
+            # triangulate fresh lines, refine with poses fixed, then cull
+            # BEFORE the joint solve — the reference's onlyLineOpt ends with
+            # removeLineOutlier (estimator.cpp:4269), so a line triangulated
+            # off a bad predicted pose never contaminates the BA or the
+            # marginalization prior
+            from .lines import only_line_opt, remove_line_outliers, triangulate_lines
+
+            lines = triangulate_lines(
+                state, lines, min_obs=cfg.lines.min_obs,
+                min_cos_theta=cfg.lines.min_cos_theta,
+            )
+            lines = only_line_opt(
+                state, lines, jnp.asarray(cfg.solver.focal / 1.5, dtype),
+                min_obs=cfg.lines.min_obs, iters=cfg.lines.only_opt_iters,
+            )
+            lines = remove_line_outliers(
+                state, lines, min_obs=cfg.lines.min_obs,
+                max_reproj=cfg.lines.outlier_reproj_px / 500.0,
+            )
 
         if cfg.use_mcc:
             from .gates import moving_consistency_check, remove_outliers
@@ -159,6 +212,8 @@ def make_window_step(cfg: Config):
                  else jnp.asarray(False))
                 if use_gnss else None
             ),
+            line_min_obs=cfg.lines.min_obs,
+            line_weight=cfg.lines.weight_scale,
         )
         params = SolverParams(
             sqrt_info_scale=jnp.asarray(cfg.solver.focal / 1.5, dtype),
@@ -172,10 +227,39 @@ def make_window_step(cfg: Config):
         )
 
         state_before = state
-        state, tracks, cost = solve_window(
-            state, tracks, inp, layout, params, num_iters=cfg.solver.max_iters
-        )
+        if use_lines:
+            state, tracks, lines, cost = solve_window(
+                state, tracks, inp, layout, params,
+                num_iters=cfg.solver.max_iters, lines=lines,
+                method=cfg.solver.method,
+            )
+        else:
+            state, tracks, cost = solve_window(
+                state, tracks, inp, layout, params,
+                num_iters=cfg.solver.max_iters, method=cfg.solver.method,
+            )
+        if use_lines:
+            # world-frame lines ride the same rigid gauge correction as the
+            # window (plücker transform under (R, t)); then cull outliers
+            # (removeLineOutlier, estimator.cpp:4269)
+            from .lines import plk_cam_to_world, remove_line_outliers
+            from ..frontend.lines import orth_to_plk, plk_to_orth
+
+            _, t_g, q_diff = gauge_transform(state_before, state)
+            gpose = jnp.concatenate([t_g, q_diff])
+            plk = orth_to_plk(lines.orth)
+            plk_g = plk_cam_to_world(plk, jnp.broadcast_to(gpose, (plk.shape[0], 7)))
+            lines = lines._replace(orth=jnp.where(
+                (lines.active & lines.solve_ok)[:, None],
+                plk_to_orth(plk_g), lines.orth,
+            ))
         state = reanchor_yaw(state_before, state)
+        if use_lines:
+            # post-solve cull (estimator.cpp:4580)
+            lines = remove_line_outliers(
+                state, lines, min_obs=cfg.lines.min_obs,
+                max_reproj=cfg.lines.outlier_reproj_px / 500.0,
+            )
 
         def _slide_gnss_old(o):
             if o is None:
@@ -192,10 +276,14 @@ def make_window_step(cfg: Config):
                 lambda a: a.at[fz - 2].set(a[fz - 1]).at[fz - 1].set(jnp.zeros_like(a[fz - 1])), o
             )
 
+        if use_lines:
+            from .lines import slide_new_lines, slide_old_lines
+
         def do_old(_):
             prior = marginalize_old(
                 state, tracks, inp, layout, params.sqrt_info_scale,
                 params.cauchy_delta, params.plane_sqrt_info,
+                lines=lines if use_lines else None,
             )
             return EstimatorCore(
                 state=slide_old_state(state),
@@ -204,6 +292,7 @@ def make_window_step(cfg: Config):
                 wheel_buf=slide_old_wheel_buffer(core.wheel_buf),
                 prior=prior,
                 gnss_obs=_slide_gnss_old(core.gnss_obs),
+                lines=slide_old_lines(lines) if use_lines else None,
             )
 
         def do_new(_):
@@ -215,6 +304,7 @@ def make_window_step(cfg: Config):
                 wheel_buf=slide_new_wheel_buffer(core.wheel_buf),
                 prior=prior,
                 gnss_obs=_slide_gnss_new(core.gnss_obs),
+                lines=slide_new_lines(lines) if use_lines else None,
             )
 
         core_new = jax.lax.cond(flags.marg_old, do_old, do_new, None)

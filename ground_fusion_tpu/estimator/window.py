@@ -226,6 +226,14 @@ def slide_old_tracks(state: WindowState, tracks: Tracks) -> Tracks:
     pts_w = pose_apply(cam0, ray0 * depth0[:, None])
     pts_c1 = pose_apply_inv(cam1, pts_w)
     new_depth = pts_c1[:, 2]
+    # depth-fixed (RGBD-measured) landmarks re-anchor to the SENSOR depth at
+    # the new anchor frame when one is available — the reference reprojects
+    # through the pose chain (feature_manager.cpp:838-845), which freezes any
+    # instantaneous pose error into the held-constant depth forever; the
+    # measured depth has no such feedback loop
+    meas1 = tracks.obs[:, 1, 4]
+    use_meas = tracks.depth_fixed & (meas1 > 0.1)
+    new_depth = jnp.where(use_meas, meas1, new_depth)
     seen_at_1 = tracks.obs_valid[:, 1]
     shift_ok = anchored0 & seen_at_1 & (new_depth > 0.1)
 

@@ -232,6 +232,60 @@ def lbd_describe(img: jax.Array, segs: jax.Array, n_samples: int = 16,
     return jax.vmap(one)(segs)
 
 
+class LineTracker:
+    """Frame-to-frame line tracking with persistent ids — the
+    ``LineFeatureTracker::readImage`` role (linefeature_tracker.cpp:77-135):
+    detect segments, describe, match against the previous frame; matched
+    segments keep their id, new segments get fresh ids. Returns id →
+    normalized-plane endpoints [x1,y1,x2,y2] (the ``lineobs`` payload)."""
+
+    def __init__(self, fx: float, fy: float, cx: float, cy: float,
+                 max_lines: int = 64, min_len_px: float = 60.0):
+        self.K = (fx, fy, cx, cy)
+        self.max_lines = max_lines
+        self.min_len_px = min_len_px
+        self.prev = None            # (segs, desc, ok, ids)
+        self._next_id = 0
+
+    def _normalize(self, seg: np.ndarray) -> np.ndarray:
+        fx, fy, cx, cy = self.K
+        return np.array([
+            (seg[0] - cx) / fx, (seg[1] - cy) / fy,
+            (seg[2] - cx) / fx, (seg[3] - cy) / fy,
+        ], np.float64)
+
+    def track(self, img: np.ndarray) -> dict:
+        import numpy as _np
+
+        imj = jnp.asarray(img, jnp.float32)
+        segs, strength, ok = detect_segments(imj, max_lines=self.max_lines)
+        desc = lbd_describe(imj, segs)
+        segs_np = _np.asarray(segs)
+        ok_np = _np.asarray(ok)
+        seg_len = _np.hypot(segs_np[:, 2] - segs_np[:, 0], segs_np[:, 3] - segs_np[:, 1])
+        ok_np = ok_np & (seg_len >= self.min_len_px * 0.25)  # tile-limited lengths
+
+        ids = _np.full(len(segs_np), -1, _np.int64)
+        if self.prev is not None:
+            psegs, pdesc, pok, pids = self.prev
+            idx, matched = match_lines(desc, segs, jnp.asarray(ok_np),
+                                       pdesc, psegs, jnp.asarray(pok))
+            idx, matched = _np.asarray(idx), _np.asarray(matched)
+            used = set()
+            for i in _np.nonzero(matched & ok_np)[0]:
+                j = int(idx[i])
+                if j in used:
+                    continue
+                used.add(j)
+                ids[i] = pids[j]
+        for i in _np.nonzero(ok_np & (ids < 0))[0]:
+            ids[i] = self._next_id
+            self._next_id += 1
+        self.prev = (segs, desc, ok_np, ids)
+        return {int(ids[i]): self._normalize(segs_np[i])
+                for i in _np.nonzero(ok_np)[0]}
+
+
 @jax.jit
 def match_lines(desc_a, segs_a, ok_a, desc_b, segs_b, ok_b,
                 desc_thresh: float = 0.35, angle_thresh: float = 0.2,

@@ -31,6 +31,7 @@ from .estimator.initialization import (
     solve_gyroscope_bias,
     stationary_bias_init,
 )
+from .estimator.lines import empty_line_tracks, slide_old_lines
 from .estimator.step import EstimatorCore, StepFlags, make_window_step
 from .estimator.window import empty_state, empty_tracks
 from .gnss.factors import GnssObsWindow, empty_gnss_obs
@@ -67,13 +68,15 @@ class Estimator:
         ml = cfg.solver.max_landmarks
         self.f = f
         self.core = EstimatorCore(
-            state=empty_state(f, dtype),
+            state=self._initial_state(),
             tracks=empty_tracks(ml, f, dtype),
             imu_buf=empty_imu_buffer(f, cfg.solver.max_imu_per_interval, dtype),
             wheel_buf=empty_wheel_buffer(f, cfg.solver.max_wheel_per_interval, dtype),
             prior=empty_prior(self.layout, f, dtype),
             gnss_obs=(empty_gnss_obs(f, cfg.gnss.max_sats, dtype)
                       if cfg.gnss.enabled else None),
+            lines=(empty_line_tracks(cfg.lines.max_lines, f, dtype)
+                   if cfg.use_line else None),
         )
         self.gnss = GnssIngest(cfg) if cfg.gnss.enabled else None
         # native C++ ring-buffer ingest when built (scripts/build_native.py);
@@ -92,6 +95,9 @@ class Estimator:
         self.ts: list[float] = []
         self.slot_of: dict[int, int] = {}
         self.free_slots = list(range(ml))
+        self.line_slot_of: dict[int, int] = {}
+        self.free_line_slots = list(range(cfg.lines.max_lines)) if cfg.use_line else []
+        self._pending_line_obs: Optional[dict] = None
         # raw queues since the previous frame
         self.imu_q: list[tuple[float, np.ndarray, np.ndarray]] = []
         self.wheel_q: list[tuple[float, np.ndarray, np.ndarray]] = []
@@ -102,6 +108,25 @@ class Estimator:
         self.keyframe_flags: list[bool] = []
         # running parallax bookkeeping
         self._prev_feats: dict[int, FrameFeature] = {}
+
+    def _initial_state(self):
+        """Seed the window state from the config — the reference's
+        ``setParameter`` copies TIC/RIC/TIO/RIO/sx,sy,sw/td/td_wheel into the
+        estimator before anything runs (estimator.cpp:168-211)."""
+        cfg = self.cfg
+        st = empty_state(self.f, self.dtype)
+        ex_cam = jnp.asarray(
+            list(cfg.camera.t_ic) + list(cfg.camera.q_ic), self.dtype)
+        ex_wheel = jnp.asarray(
+            list(cfg.wheel.t_io) + list(cfg.wheel.q_io), self.dtype)
+        return st._replace(
+            ex_cam=ex_cam,
+            ex_wheel=ex_wheel,
+            s_wheel=jnp.asarray([cfg.wheel.sx, cfg.wheel.sy, cfg.wheel.sw],
+                                self.dtype),
+            td=jnp.asarray(cfg.solver.td, self.dtype),
+            td_wheel=jnp.asarray(cfg.wheel.td, self.dtype),
+        )
 
     # ------------------------------------------------------------------ ingest
 
@@ -289,6 +314,48 @@ class Estimator:
             )
         self.core = self.core._replace(tracks=tr._replace(obs=obs, obs_valid=obs_valid))
 
+    def _assign_line_slots(self, slot_frame: int):
+        """Allocate/recycle line slots and write the pending frame's segment
+        observations (the line twin of :meth:`_assign_slots`; the reference's
+        ``lineFeaturePerId`` list, feature_manager.h)."""
+        lobs = self._pending_line_obs
+        self._pending_line_obs = None
+        if not self.cfg.use_line or self.core.lines is None or not lobs:
+            return
+        ln = self.core.lines
+        active_np = np.asarray(ln.active)
+        for lid, slot in list(self.line_slot_of.items()):
+            if not active_np[slot]:
+                del self.line_slot_of[lid]
+                self.free_line_slots.append(slot)
+        rows, vals, new_slots = [], [], []
+        for lid, ob in lobs.items():
+            slot = self.line_slot_of.get(lid)
+            if slot is None:
+                if not self.free_line_slots:
+                    continue
+                slot = self.free_line_slots.pop()
+                self.line_slot_of[lid] = slot
+                new_slots.append(slot)
+            rows.append(slot)
+            vals.append(np.asarray(ob, np.float64)[:4])
+        if not rows:
+            return
+        rows = jnp.asarray(rows, jnp.int32)
+        obs = ln.obs.at[rows, slot_frame].set(jnp.asarray(np.stack(vals), self.dtype))
+        obs_valid = ln.obs_valid.at[rows, slot_frame].set(True)
+        if new_slots:
+            na = jnp.asarray(new_slots, jnp.int32)
+            keep_col = jnp.zeros((self.cfg.num_frames,), bool).at[slot_frame].set(True)
+            obs_valid = obs_valid.at[na].set(obs_valid[na] & keep_col[None, :])
+            ln = ln._replace(
+                active=ln.active.at[na].set(True),
+                solve_ok=ln.solve_ok.at[na].set(False),
+                start_frame=ln.start_frame.at[na].set(slot_frame),
+                orth=ln.orth.at[na].set(0.0),
+            )
+        self.core = self.core._replace(lines=ln._replace(obs=obs, obs_valid=obs_valid))
+
     def _keyframe_decision(self, feats: dict[int, FrameFeature]) -> bool:
         """Parallax / track-count keyframe gate
         (``FeatureManager::addFeatureCheckParallax``, feature_manager.cpp:57-116):
@@ -306,9 +373,14 @@ class Estimator:
 
     # ------------------------------------------------------------- frame push
 
-    def input_frame(self, t: float, feats: dict[int, FrameFeature]) -> Optional[np.ndarray]:
-        """Process one synchronized camera frame's features. Returns the
+    def input_frame(self, t: float, feats: dict[int, FrameFeature],
+                    line_obs: Optional[dict[int, np.ndarray]] = None,
+                    ) -> Optional[np.ndarray]:
+        """Process one synchronized camera frame's features. ``line_obs`` maps
+        line id → normalized-plane endpoints [x1,y1,x2,y2] (the
+        ``trackImagewithline`` payload, estimator.cpp:275-322). Returns the
         newest optimized pose [7] once the estimator is running."""
+        self._pending_line_obs = line_obs if self.cfg.use_line else None
         is_keyframe = self._keyframe_decision(feats)
         # parallax snapshot BEFORE the previous-frame map is replaced —
         # the stationarity detector needs last->current motion
@@ -333,6 +405,7 @@ class Estimator:
         self.ts.append(t)
         self._write_interval(min(k, f - 1), iv, wv)
         self._assign_slots(feats, min(k, f - 1))
+        self._assign_line_slots(min(k, f - 1))
 
         # wheel dead-reckoned pose prediction during fill (initFramePoseByOdom
         # analog, feature_manager.cpp:407-545)
@@ -343,7 +416,8 @@ class Estimator:
             ok = self._initialize()
             if ok:
                 self.solver_flag = self.NON_LINEAR
-                return self._run_step(marg_old=True)
+                # init already placed every pose — don't re-propagate F-1
+                return self._run_step(marg_old=True, propagate_newest=False)
             else:
                 # drop the oldest frame and keep filling (reference slides the
                 # init window, estimator.cpp:1092-1105)
@@ -376,6 +450,8 @@ class Estimator:
             tracks=slide_old_tracks(st, self.core.tracks),
             imu_buf=slide_old_imu_buffer(self.core.imu_buf),
             wheel_buf=slide_old_wheel_buffer(self.core.wheel_buf),
+            lines=(slide_old_lines(self.core.lines)
+                   if self.core.lines is not None else None),
         )
         self.ts.pop(0)
         self.frame_count -= 1
@@ -493,8 +569,9 @@ class Estimator:
             self.ts.pop(0)
         self._write_interval(f - 1, iv, wv)
         self._assign_slots(feats, f - 1)
+        self._assign_line_slots(f - 1)
         self._update_gates(iv, wv, feats)
-        out = self._run_step(marg_old=is_keyframe)
+        out = self._run_step(marg_old=is_keyframe, propagate_newest=True)
         self._check_failure()
         return out
 
@@ -571,19 +648,23 @@ class Estimator:
         cfg = self.cfg
         f, ml = self.f, cfg.solver.max_landmarks
         self.core = EstimatorCore(
-            state=empty_state(f, self.dtype),
+            state=self._initial_state(),
             tracks=empty_tracks(ml, f, self.dtype),
             imu_buf=empty_imu_buffer(f, cfg.solver.max_imu_per_interval, self.dtype),
             wheel_buf=empty_wheel_buffer(f, cfg.solver.max_wheel_per_interval, self.dtype),
             prior=empty_prior(self.layout, f, self.dtype),
             gnss_obs=(empty_gnss_obs(f, cfg.gnss.max_sats, self.dtype)
                       if cfg.gnss.enabled else None),
+            lines=(empty_line_tracks(cfg.lines.max_lines, f, self.dtype)
+                   if cfg.use_line else None),
         )
         self.solver_flag = self.INITIAL
         self.frame_count = 0
         self.ts = []
         self.slot_of = {}
         self.free_slots = list(range(ml))
+        self.line_slot_of = {}
+        self.free_line_slots = list(range(cfg.lines.max_lines)) if cfg.use_line else []
         self.all_imu_window = []
         self.gnss_aligned = False
         self._first_gnss_opt = True   # estimator.cpp:152
@@ -679,7 +760,7 @@ class Estimator:
             dp_weight=jnp.asarray(dpw, self.dtype),
         ))
 
-    def _run_step(self, marg_old: bool):
+    def _run_step(self, marg_old: bool, propagate_newest: bool = False):
         f = self.f
         if self.gnss is not None:
             self._attach_gnss_epoch()
@@ -700,6 +781,8 @@ class Estimator:
             frame_dts=jnp.asarray(frame_dts[:f], self.dtype),
             fix_yaw_enu=jnp.asarray(speed < self.cfg.gnss.low_speed_yaw_fix),
             first_gnss_opt=jnp.asarray(self._first_gnss_opt),
+            propagate_newest=jnp.asarray(
+                propagate_newest and not getattr(self, "_stationary", False)),
         )
         self._first_gnss_opt = False
         core_new, out = self.step_fn(self.core, flags)

@@ -46,6 +46,16 @@ class GroundFusionSystem:
         )
         self.cam = cam
 
+        self.line_tracker = None
+        if cfg.use_line:
+            from .frontend.lines import LineTracker
+
+            self.line_tracker = LineTracker(
+                cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy,
+                max_lines=cfg.lines.max_lines,
+                min_len_px=cfg.lines.min_seg_len_px,
+            )
+
         self.detector_params = None
         if cfg.use_yolo:
             from .detector.model import init_params, load_npz
@@ -118,8 +128,13 @@ class GroundFusionSystem:
                 jnp.asarray(self.tracker.prev_pts), boxes, classes, valid))
             feats = {fid: f for (fid, f), k in zip(feats.items(), keep) if k}
 
+        line_obs = None
+        if self.line_tracker is not None:
+            with self.stats.time("lines"):
+                line_obs = self.line_tracker.track(img)
+
         with self.stats.time("solve"):
-            pose = self.estimator.input_frame(t, feats)
+            pose = self.estimator.input_frame(t, feats, line_obs=line_obs)
 
         if pose is not None:
             self.calib_dump.append(t, self.estimator.core.state)

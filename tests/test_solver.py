@@ -134,6 +134,39 @@ def test_solver_recovers_perturbed_window(problem):
     assert dep_err1 < 5e-3
 
 
+def test_dogleg_recovers_perturbed_window(problem):
+    """Same problem solved with the Powell dogleg strategy (ceres DOGLEG,
+    estimator.cpp:3306) — must converge to the same answer as LM."""
+    layout = problem["layout"]
+    f = problem["cfg"].num_frames
+    state_gt, tracks_gt = problem["state"], problem["tracks"]
+
+    rng = np.random.default_rng(1)
+    delta = np.zeros(layout.nx)
+    for k in range(2, f):
+        delta[PER_FRAME * k : PER_FRAME * k + 6] = rng.normal(0, 0.02, 6)
+        delta[PER_FRAME * k + 6 : PER_FRAME * k + 9] = rng.normal(0, 0.02, 3)
+    state0 = retract(state_gt, jnp.asarray(delta, DT), layout)
+    tracks0 = tracks_gt._replace(
+        inv_depth=tracks_gt.inv_depth
+        * (1.0 + 0.1 * jnp.asarray(rng.normal(0, 1, tracks_gt.inv_depth.shape)))
+    )
+
+    free = np.ones(layout.total)
+    free[: 2 * PER_FRAME] = 0.0
+    free[PER_FRAME * f : layout.nx] = 0.0
+    inp = _solve_inputs(problem, jnp.asarray(free, DT))
+
+    state1, tracks1, cost = solve_window(
+        state0, tracks0, inp, layout, _params(), num_iters=10, method="dogleg")
+
+    pos_err1 = float(jnp.max(jnp.abs(state1.poses[:, 0:3] - state_gt.poses[:, 0:3])))
+    assert pos_err1 < 2e-3, f"dogleg pose error {pos_err1}"
+    dep_err1 = float(jnp.max(jnp.abs(
+        jnp.where(tracks_gt.active, tracks1.inv_depth - tracks_gt.inv_depth, 0.0))))
+    assert dep_err1 < 5e-3
+
+
 def test_marginalization_matches_dense_schur(problem):
     """Linear-Gaussian check: the sqrt prior from ``marginalize_old`` must
     reproduce the dense Schur complement of the full normal equations over
