@@ -57,7 +57,10 @@ def main() -> None:
     )
     core = core._replace(tracks=tr, imu_buf=ib, wheel_buf=wb)
 
-    # warmup / compile
+    # chained dispatches: each step consumes the previous core, so this
+    # measures true sequential keyframe throughput (async dispatch overlaps
+    # host latency with device work). NOTE: wrapping the chain in lax.scan
+    # measures 60× slower on the axon remote backend — keep the loop.
     out = step(core, flags)
     jax.block_until_ready(out)
 

@@ -80,6 +80,23 @@ def rows_to_dense(J_block: jax.Array, col_idx: jax.Array, r: jax.Array,
     return Jd.reshape(b * rr, total), rm.reshape(-1)
 
 
+def rows_to_dense_add(J_block: jax.Array, col_idx: jax.Array, r: jax.Array,
+                      row_valid: jax.Array, total: int):
+    """Like :func:`rows_to_dense` but with an ADDITIVE scatter: a factor whose
+    column indices coincide (e.g. the line anchor observation, where pose_i
+    and pose_j are the same block) accumulates the correct total derivative
+    instead of an undefined last-write."""
+    b, rr, n = J_block.shape
+    ok = row_valid[:, None, None]
+    Jm = jnp.where(ok, J_block, 0.0)
+    rm = jnp.where(row_valid[:, None], r, 0.0)
+    Jd = jnp.zeros((b, rr, total), J_block.dtype)
+    Jd = Jd.at[
+        jnp.arange(b)[:, None, None], jnp.arange(rr)[None, :, None], col_idx[:, None, :]
+    ].add(Jm)
+    return Jd.reshape(b * rr, total), rm.reshape(-1)
+
+
 # ---------------------------------------------------------------------------
 # Per-class linearizers
 # ---------------------------------------------------------------------------

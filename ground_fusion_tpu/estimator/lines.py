@@ -9,13 +9,19 @@ culling (``feature_manager.cpp:1372-1442`` removeLineOutlier), and
 marginalization of frame-0 lines (``estimator.cpp:4680-4712`` — drop set is
 the line block only).
 
-TPU redesign: lines live in a padded ``LineTracks`` table of world-frame
-orthonormal 4-vectors. Each (line, frame) observation yields one 2-row factor
-on (pose_j, ex_cam, orth_l) — batched with ``vmap``, scattered into the dense
-row-block like every other factor class (:mod:`.assembly`). ``onlyLineOpt``
-becomes an embarrassingly-parallel batched GN: with poses fixed every line is
-an independent 4-dim problem, so the whole refinement is one ``vmap`` over a
-``lax.scan`` — no Ceres graph, no ordering.
+TPU redesign: lines live in a padded ``LineTracks`` table of orthonormal
+4-vectors expressed in the ANCHOR-FRAME CAMERA — the reference's ``LINEINCAM``
+variant (``lineProjectionFactor_incamera`` / ``_instartframe``,
+line_projection_factor.cpp). Camera-anchored lines are gauge-invariant like
+anchored point landmarks: a rigid motion of the window carries them along, so
+they exert no authority over the yaw/position gauge that ``double2vector``
+re-anchors after every solve (world-frame lines fight that re-anchoring and
+drag the window — measurably, on exact-data replays). Each (line, frame)
+observation yields one 2-row factor on (pose_i, pose_j, ex_cam, orth_l); the
+anchor observation's pose/extrinsic Jacobians cancel analytically
+(instartframe). ``onlyLineOpt`` becomes an embarrassingly-parallel batched GN:
+with poses fixed every line is an independent 4-dim problem, so the whole
+refinement is one ``vmap`` over a ``lax.scan`` — no Ceres graph, no ordering.
 """
 
 from __future__ import annotations
@@ -40,7 +46,7 @@ class LineTracks(NamedTuple):
     stores in ``lineFeaturePerFrame``).
     """
 
-    orth: jax.Array         # [LL, 4] world-frame orthonormal line parameters
+    orth: jax.Array         # [LL, 4] orthonormal line in the anchor camera
     active: jax.Array       # [LL] bool — slot in use
     solve_ok: jax.Array     # [LL] bool — is_triangulation
     start_frame: jax.Array  # [LL] int32
@@ -77,6 +83,26 @@ def plk_cam_to_world(plk_c: jax.Array, cam_pose: jax.Array) -> jax.Array:
     return jnp.concatenate([n_w, v_w], axis=-1)
 
 
+def line_residual_cam(pose_i, pose_j, ex, orth, obs4):
+    """Point-to-line residual of an ANCHOR-CAMERA line observed in frame j
+    (``lineProjectionFactor_incamera::Evaluate``): cam_i line → world →
+    cam_j, then signed endpoint distances to the projected infinite line.
+    For j == i the pose/extrinsic dependence cancels analytically — the
+    reference's ``_instartframe`` variant."""
+    from ..frontend.lines import plk_transform
+
+    plk_ci = orth_to_plk(orth)
+    cam_i = pose_compose(pose_i, ex)
+    cam_j = pose_compose(pose_j, ex)
+    plk_w = plk_cam_to_world(plk_ci, cam_i)
+    plk_cj = plk_transform(plk_w, cam_j[..., 3:7], cam_j[..., 0:3])
+    nc = plk_cj[..., 0:3]
+    l_norm = jnp.sqrt(jnp.maximum(nc[..., 0] ** 2 + nc[..., 1] ** 2, 1e-12))
+    e1 = obs4[..., 0] * nc[..., 0] + obs4[..., 1] * nc[..., 1] + nc[..., 2]
+    e2 = obs4[..., 2] * nc[..., 0] + obs4[..., 3] * nc[..., 1] + nc[..., 2]
+    return jnp.stack([e1, e2], axis=-1) / l_norm[..., None]
+
+
 def _plane_of_obs(obs4: jax.Array, dtype):
     """Plane through the camera origin and the two endpoint rays
     (``pi_from_ppp(p1, p2, 0)``): normal = p1 × p2, d = 0."""
@@ -86,13 +112,14 @@ def _plane_of_obs(obs4: jax.Array, dtype):
 
 
 def triangulate_lines(state: WindowState, lines: LineTracks,
-                      min_obs: int = 5, min_cos_theta: float = 0.998) -> LineTracks:
+                      min_obs: int = 5, min_cos_theta: float = 0.998,
+                      enabled: jax.Array | bool = True) -> LineTracks:
     """Two-view line triangulation for untriangulated slots
     (``feature_manager.cpp:1151-1315``): among all non-anchor observations,
     pick the one whose back-projected plane is most oblique to the anchor
     plane (smallest cos θ between normals, both expressed in the anchor
     camera); gate at ``cos θ ≤ 0.998``; intersect the two planes into a
-    camera-frame plücker (dual-matrix construction) and store world-frame
+    camera-frame plücker (dual-matrix construction) and store anchor-camera
     orthonormal coordinates."""
     ll, f = lines.obs_valid.shape
     dtype = lines.obs.dtype
@@ -102,6 +129,7 @@ def triangulate_lines(state: WindowState, lines: LineTracks,
     want = (
         lines.active & ~lines.solve_ok & (used_num >= min_obs)
         & (lines.start_frame < f - 3)
+        & jnp.asarray(enabled)
     )
 
     def one(l_obs, l_valid, si):
@@ -139,8 +167,8 @@ def triangulate_lines(state: WindowState, lines: LineTracks,
         n_c = M[0:3, 3]
         v_c = jnp.stack([M[2, 1], M[0, 2], M[1, 0]])
         plk_c = jnp.concatenate([n_c, v_c])
-        plk_w = plk_cam_to_world(plk_c, cam_i)
-        return plk_to_orth(plk_w), ok
+        # LINEINCAM: the line stays in the anchor camera's frame
+        return plk_to_orth(plk_c), ok
 
     orth_new, tri_ok = jax.vmap(one)(lines.obs, lines.obs_valid, lines.start_frame)
     do = want & tri_ok
@@ -163,16 +191,18 @@ def line_solve_mask(lines: LineTracks, num_frames: int, min_obs: int = 5) -> jax
     )
 
 
-def _line_factor16(pose_j, ex, orth, obs4, sqrt_info_scale):
-    """Whitened residual + Jacobian wrt [δpose_j(6), δex(6), δorth(4)]."""
+def _line_factor22(pose_i, pose_j, ex, orth, obs4, sqrt_info_scale):
+    """Whitened residual + Jacobian wrt [δpose_i(6), δpose_j(6), δex(6),
+    δorth(4)]. For the anchor observation (i == j) the pose/extrinsic columns
+    cancel to zero (instartframe)."""
 
     def r_of(d):
-        return sqrt_info_scale * line_residual_raw(
-            pose_boxplus(pose_j, d[0:6]), pose_boxplus(ex, d[6:12]),
-            orth + d[12:16], obs4,
+        return sqrt_info_scale * line_residual_cam(
+            pose_boxplus(pose_i, d[0:6]), pose_boxplus(pose_j, d[6:12]),
+            pose_boxplus(ex, d[12:18]), orth + d[18:22], obs4,
         )
 
-    z = jnp.zeros(16, pose_j.dtype)
+    z = jnp.zeros(22, pose_i.dtype)
     return r_of(z), jax.jacfwd(r_of)(z)
 
 
@@ -181,9 +211,11 @@ def linearize_lines(state: WindowState, lines: LineTracks, layout: StateLayout,
                     lm_filter: jax.Array | None = None,
                     frame_filter: jax.Array | None = None):
     """All (line, frame) observation factors flattened to ``[LL·F]`` row
-    pairs; each touches pose_j, ex_cam and its own 4 line columns
-    (``estimator.cpp:4500-4537``; Huber(1.0) robust loss)."""
-    from .assembly import rows_to_dense
+    pairs; each touches pose_i (anchor), pose_j, ex_cam and its own 4 line
+    columns (``lineProjectionFactor_incamera``; Huber(1.0) robust loss).
+    Scatter is ADDITIVE so the coinciding pose_i/pose_j columns of the anchor
+    observation sum to the correct total derivative."""
+    from .assembly import rows_to_dense_add
     from .factors import huber_weight
 
     ll, f = lines.obs_valid.shape
@@ -193,30 +225,32 @@ def linearize_lines(state: WindowState, lines: LineTracks, layout: StateLayout,
 
     ls = jnp.repeat(jnp.arange(ll), f)
     js = jnp.tile(jnp.arange(f), ll)
+    si = lines.start_frame[ls]
     valid = line_ok[ls] & lines.obs_valid[ls, js]
     if frame_filter is not None:
         valid = valid & frame_filter[js]
 
-    def one(l, j):
-        return _line_factor16(
-            state.poses[j], state.ex_cam, lines.orth[l], lines.obs[l, j],
-            sqrt_info_scale,
+    def one(l, i, j):
+        return _line_factor22(
+            state.poses[i], state.poses[j], state.ex_cam, lines.orth[l],
+            lines.obs[l, j], sqrt_info_scale,
         )
 
-    r, J = jax.vmap(one)(ls, js)                 # [B,2], [B,2,16]
+    r, J = jax.vmap(one)(ls, si, js)             # [B,2], [B,2,22]
     w = huber_weight(jnp.sum(r * r, axis=-1), loss_delta)[:, None]
     r = r * w
     J = J * w[:, :, None]
 
     col_idx = jnp.concatenate(
         [
+            (PER_FRAME * si)[:, None] + jnp.arange(6)[None, :],
             (PER_FRAME * js)[:, None] + jnp.arange(6)[None, :],
             jnp.tile(jnp.arange(layout.ex_cam, layout.ex_cam + 6), (ll * f, 1)),
             (layout.line0 + 4 * ls)[:, None] + jnp.arange(4)[None, :],
         ],
         axis=1,
-    )  # [B, 16]
-    return rows_to_dense(J, col_idx, r, valid, layout.total)
+    )  # [B, 22]
+    return rows_to_dense_add(J, col_idx, r, valid, layout.total)
 
 
 def line_residuals(state: WindowState, lines: LineTracks,
@@ -229,14 +263,16 @@ def line_residuals(state: WindowState, lines: LineTracks,
     line_ok = line_solve_mask(lines, f, min_obs)
     ls = jnp.repeat(jnp.arange(ll), f)
     js = jnp.tile(jnp.arange(f), ll)
+    si = lines.start_frame[ls]
     valid = line_ok[ls] & lines.obs_valid[ls, js]
 
-    def one(l, j):
-        return sqrt_info_scale * line_residual_raw(
-            state.poses[j], state.ex_cam, lines.orth[l], lines.obs[l, j]
+    def one(l, i, j):
+        return sqrt_info_scale * line_residual_cam(
+            state.poses[i], state.poses[j], state.ex_cam, lines.orth[l],
+            lines.obs[l, j],
         )
 
-    r = jax.vmap(one)(ls, js)
+    r = jax.vmap(one)(ls, si, js)
     w = huber_weight(jnp.sum(r * r, axis=-1), loss_delta)[:, None]
     return jnp.where(valid[:, None], r * w, 0.0).reshape(-1)
 
@@ -282,10 +318,11 @@ def only_line_opt(state: WindowState, lines: LineTracks, sqrt_info_scale,
     dtype = lines.obs.dtype
     line_ok = line_solve_mask(lines, f, min_obs)
 
-    def one_line(orth0, obs, obs_valid):
+    def one_line(orth0, obs, obs_valid, si):
         def r_of(orth):
             def per_frame(j):
-                return line_residual_raw(state.poses[j], state.ex_cam, orth, obs[j])
+                return line_residual_cam(
+                    state.poses[si], state.poses[j], state.ex_cam, orth, obs[j])
 
             r = jax.vmap(per_frame)(jnp.arange(f))          # [F,2]
             w = cauchy_weight(jnp.sum(r * r, axis=-1), loss_delta)[:, None]
@@ -304,7 +341,8 @@ def only_line_opt(state: WindowState, lines: LineTracks, sqrt_info_scale,
         orth_fin, _ = jax.lax.scan(gn_step, orth0, None, length=iters)
         return orth_fin
 
-    orth_new = jax.vmap(one_line)(lines.orth, lines.obs, lines.obs_valid)
+    orth_new = jax.vmap(one_line)(lines.orth, lines.obs, lines.obs_valid,
+                                  lines.start_frame)
     orth = jnp.where(line_ok[:, None], orth_new, lines.orth)
     return lines._replace(orth=orth)
 
@@ -323,17 +361,15 @@ def remove_line_outliers(state: WindowState, lines: LineTracks,
 
     def one(orth, obs, obs_valid, si):
         def per_frame(j):
-            return line_residual_raw(state.poses[j], state.ex_cam, orth, obs[j])
+            return line_residual_cam(
+                state.poses[si], state.poses[j], state.ex_cam, orth, obs[j])
 
         r = jax.vmap(per_frame)(jnp.arange(f))              # [F,2]
         err = jnp.max(jnp.where(obs_valid[:, None], jnp.abs(r), 0.0))
 
-        # distance of the line to the anchor camera: d = |n|/|v| in cam frame
-        plk_w = orth_to_plk(orth)
-        cam_i = pose_compose(state.poses[si], state.ex_cam)
-        from ..frontend.lines import plk_transform
-
-        plk_c = plk_transform(plk_w, cam_i[3:7], cam_i[0:3])
+        # distance of the line to the anchor camera: d = |n|/|v|, directly in
+        # the anchor-camera parameterization
+        plk_c = orth_to_plk(orth)
         d = jnp.linalg.norm(plk_c[0:3]) / jnp.maximum(jnp.linalg.norm(plk_c[3:6]), 1e-9)
         return (err < max_reproj) & (d < max_depth)
 
@@ -351,17 +387,30 @@ def remove_line_outliers(state: WindowState, lines: LineTracks,
 # ---------------------------------------------------------------------------
 
 
-def slide_old_lines(lines: LineTracks) -> LineTracks:
-    """MARGIN_OLD: lines are world-frame, so no re-anchoring is needed — the
-    observation window rolls left and slots with no remaining observations
-    die (``FeatureManager::removeLineBack``)."""
+def slide_old_lines(state: WindowState, lines: LineTracks) -> LineTracks:
+    """MARGIN_OLD: the observation window rolls left; lines anchored at the
+    dropped frame 0 re-express their plücker coordinates in frame 1's camera
+    (an exact frame change — no depth-freezing, unlike point re-anchoring);
+    slots with no remaining observations die (``removeLineBack`` +
+    ``removeBackShiftDepthline``). ``state`` is the PRE-slide state."""
+    from ..frontend.lines import plk_transform
+
+    anchored0 = lines.active & (lines.start_frame == 0)
+    cam0 = pose_compose(state.poses[0], state.ex_cam)
+    cam1 = pose_compose(state.poses[1], state.ex_cam)
+    plk_c0 = orth_to_plk(lines.orth)
+    plk_w = plk_cam_to_world(plk_c0, cam0)
+    plk_c1 = plk_transform(plk_w, cam1[3:7], cam1[0:3])
+    orth = jnp.where((anchored0 & lines.solve_ok)[:, None],
+                     plk_to_orth(plk_c1), lines.orth)
+
     obs = jnp.roll(lines.obs, -1, axis=1).at[:, -1].set(0.0)
     obs_valid = jnp.roll(lines.obs_valid, -1, axis=1).at[:, -1].set(False)
     start_frame = jnp.maximum(lines.start_frame - 1, 0)
     active = lines.active & jnp.any(obs_valid, axis=1)
     return lines._replace(
-        obs=obs, obs_valid=obs_valid, start_frame=start_frame, active=active,
-        solve_ok=lines.solve_ok & active,
+        orth=orth, obs=obs, obs_valid=obs_valid, start_frame=start_frame,
+        active=active, solve_ok=lines.solve_ok & active,
     )
 
 

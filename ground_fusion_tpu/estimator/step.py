@@ -32,7 +32,7 @@ from .buffers import (
 )
 from .layout import PER_FRAME, StateLayout
 from .marginalization import marginalize_old, marginalize_second_new
-from .solver import SolverParams, gauge_transform, reanchor_yaw, solve_window
+from .solver import SolverParams, reanchor_yaw, solve_window
 from .triangulation import triangulate_all
 from .window import (
     Tracks,
@@ -172,9 +172,14 @@ def make_window_step(cfg: Config):
             # marginalization prior
             from .lines import only_line_opt, remove_line_outliers, triangulate_lines
 
+            # gate on a valid prior: the very first solve runs on raw
+            # initialization poses — lines triangulated from those lock the
+            # window to the init error (they pass the self-consistent cull),
+            # so they wait one step for a converged window
             lines = triangulate_lines(
                 state, lines, min_obs=cfg.lines.min_obs,
                 min_cos_theta=cfg.lines.min_cos_theta,
+                enabled=core.prior.valid,
             )
             lines = only_line_opt(
                 state, lines, jnp.asarray(cfg.solver.focal / 1.5, dtype),
@@ -238,21 +243,8 @@ def make_window_step(cfg: Config):
                 state, tracks, inp, layout, params,
                 num_iters=cfg.solver.max_iters, method=cfg.solver.method,
             )
-        if use_lines:
-            # world-frame lines ride the same rigid gauge correction as the
-            # window (plücker transform under (R, t)); then cull outliers
-            # (removeLineOutlier, estimator.cpp:4269)
-            from .lines import plk_cam_to_world, remove_line_outliers
-            from ..frontend.lines import orth_to_plk, plk_to_orth
-
-            _, t_g, q_diff = gauge_transform(state_before, state)
-            gpose = jnp.concatenate([t_g, q_diff])
-            plk = orth_to_plk(lines.orth)
-            plk_g = plk_cam_to_world(plk, jnp.broadcast_to(gpose, (plk.shape[0], 7)))
-            lines = lines._replace(orth=jnp.where(
-                (lines.active & lines.solve_ok)[:, None],
-                plk_to_orth(plk_g), lines.orth,
-            ))
+        # anchor-camera lines (LINEINCAM) are gauge-invariant: the yaw/position
+        # re-anchor below carries them along with their anchor pose for free
         state = reanchor_yaw(state_before, state)
         if use_lines:
             # post-solve cull (estimator.cpp:4580)
@@ -292,7 +284,7 @@ def make_window_step(cfg: Config):
                 wheel_buf=slide_old_wheel_buffer(core.wheel_buf),
                 prior=prior,
                 gnss_obs=_slide_gnss_old(core.gnss_obs),
-                lines=slide_old_lines(lines) if use_lines else None,
+                lines=slide_old_lines(state, lines) if use_lines else None,
             )
 
         def do_new(_):

@@ -450,7 +450,7 @@ class Estimator:
             tracks=slide_old_tracks(st, self.core.tracks),
             imu_buf=slide_old_imu_buffer(self.core.imu_buf),
             wheel_buf=slide_old_wheel_buffer(self.core.wheel_buf),
-            lines=(slide_old_lines(self.core.lines)
+            lines=(slide_old_lines(st, self.core.lines)
                    if self.core.lines is not None else None),
         )
         self.ts.pop(0)

@@ -77,11 +77,14 @@ def _scene(rng, noise=0.0):
             obs[l, k] = [pa[0] / pa[2], pa[1] / pa[2], pb[0] / pb[2], pb[1] / pb[2]]
     obs = jnp.asarray(obs) + noise * jnp.asarray(rng.normal(size=(LL, F, 4)), jnp.float32)
 
-    # ground-truth plücker in world: n = A × B (with |v|=1 scaling), v = B − A
+    # ground-truth plücker: n = A × B, v = B − A in world, expressed in the
+    # anchor (frame 0) camera — the LINEINCAM parameterization
     v = B - A
     n = jnp.cross(A, B)
-    plk = jnp.concatenate([n, v], axis=-1)
-    orth_gt = plk_to_orth(plk)
+    plk_w = jnp.concatenate([n, v], axis=-1)
+    cam0 = pose_compose(state.poses[0], state.ex_cam)
+    plk_c0 = plk_transform(plk_w, cam0[3:7], cam0[0:3])
+    orth_gt = plk_to_orth(plk_c0)
 
     lines = empty_line_tracks(LL, F)._replace(
         active=jnp.ones(LL, bool),
@@ -101,30 +104,44 @@ def test_gt_line_zero_residual():
 
 def test_linearize_lines_fd_jacobian():
     """Analytic (jacfwd) rows vs finite differences over a joint perturbation
-    of pose, extrinsic and orth — the reference's own (disabled) check
-    methodology."""
+    of anchor pose, target pose, extrinsic and orth — the reference's own
+    (disabled) check methodology, on the incamera factor."""
+    from ground_fusion_tpu.estimator.lines import line_residual_cam
+
     rng = np.random.default_rng(1)
     state, lines, orth_gt = _scene(rng)
     orth = orth_gt + 0.01 * jnp.asarray(rng.normal(size=(LL, 4)), jnp.float32)
     lines = lines._replace(orth=orth, solve_ok=jnp.ones(LL, bool))
 
-    pose = state.poses[2]
+    pose_i = state.poses[0]
+    pose_j = state.poses[2]
     ex = state.ex_cam
     o = lines.orth[1]
     ob = lines.obs[1, 2]
 
     def r_of(d):
-        return line_residual_raw(
-            pose_boxplus(pose, d[0:6]), pose_boxplus(ex, d[6:12]), o + d[12:16], ob
+        return line_residual_cam(
+            pose_boxplus(pose_i, d[0:6]), pose_boxplus(pose_j, d[6:12]),
+            pose_boxplus(ex, d[12:18]), o + d[18:22], ob,
         )
 
-    J = jax.jacfwd(r_of)(jnp.zeros(16, jnp.float32))
+    J = jax.jacfwd(r_of)(jnp.zeros(22, jnp.float32))
     eps = 1e-4
-    for i in range(16):
-        dp = jnp.zeros(16, jnp.float32).at[i].set(eps)
+    for i in range(22):
+        dp = jnp.zeros(22, jnp.float32).at[i].set(eps)
         fd = (r_of(dp) - r_of(-dp)) / (2 * eps)
         np.testing.assert_allclose(np.asarray(J[:, i]), np.asarray(fd),
                                    rtol=2e-2, atol=2e-3)
+
+    # anchor observation: pose/extrinsic columns must cancel (instartframe)
+    def r_anchor(d):
+        return line_residual_cam(
+            pose_boxplus(pose_i, d[0:6]), pose_boxplus(pose_i, d[0:6]),
+            pose_boxplus(ex, d[6:12]), o + d[12:16], lines.obs[1, 0],
+        )
+
+    Ja = jax.jacfwd(r_anchor)(jnp.zeros(16, jnp.float32))
+    assert float(jnp.max(jnp.abs(Ja[:, 0:12]))) < 1e-4
 
 
 def test_triangulate_lines_recovers_geometry():
@@ -166,16 +183,24 @@ def test_slide_ops():
         start_frame=jnp.asarray([0, 1, 0, 2], jnp.int32),
         obs_valid=lines.obs_valid.at[1, 0].set(False),
     )
-    old = slide_old_lines(lines)
+    old = slide_old_lines(state, lines)
     assert old.obs.shape == lines.obs.shape
     assert int(old.start_frame[1]) == 0
     np.testing.assert_array_equal(np.asarray(old.obs[0, :-1]), np.asarray(lines.obs[0, 1:]))
     assert not bool(old.obs_valid[0, -1])
+    # frame-0-anchored solved lines re-express in frame 1's camera and must
+    # still reproject exactly after the roll (exact frame change)
+    lines00 = lines._replace(start_frame=jnp.zeros(LL, jnp.int32))
+    old00 = slide_old_lines(state, lines00)
+    st1 = state._replace(poses=jnp.roll(state.poses, -1, axis=0)
+                         .at[-1].set(state.poses[-1]))
+    r = line_residuals(st1, old00, 1.0, 1.0, min_obs=3)
+    assert float(jnp.max(jnp.abs(r))) < 1e-4
 
     # a line seen only at frame 0 dies on slide_old
     lonely = lines._replace(
         obs_valid=jnp.zeros((LL, F), bool).at[:, 0].set(True))
-    assert not bool(slide_old_lines(lonely).active[0])
+    assert not bool(slide_old_lines(state, lonely).active[0])
 
     new = slide_new_lines(lines)
     np.testing.assert_array_equal(np.asarray(new.obs[2, F - 2]), np.asarray(lines.obs[2, F - 1]))
@@ -376,12 +401,9 @@ def test_e2e_pipeline_with_lines():
     est_xyz = np.stack([p[0:3] for _, p in est.trajectory])
     gt_xyz = np.stack([gt[t][0:3] for t, _ in est.trajectory])
     ate = ate_rmse(est_xyz, gt_xyz)
-    # NOTE: the point-only replay reaches ~2e-4 m; engaging world-frame line
-    # landmarks currently costs ~0.1 m on this sequence (the reference ships
-    # use_line off in every config, and its line mode carries the same
-    # world-frame-landmark coupling). Bound guards against regression while
-    # the residual coupling is tightened.
-    assert ate < 0.15, f"ATE {ate:.4f} m with lines enabled"
+    # the point-only replay reaches ~2e-4 m; anchor-camera lines with the
+    # prior-valid warm-up gate match it (see estimator/lines.py docstring)
+    assert ate < 0.02, f"ATE {ate:.4f} m with lines enabled"
 
 
 def test_full_step_with_lines_compiles_and_runs():
