@@ -112,6 +112,9 @@ class SolverConfig:
     # trust-region strategy: "dogleg" = ceres DOGLEG (estimator.cpp:3306),
     # "lm" = Levenberg–Marquardt damping
     method: str = "lm"
+    # "schur" eliminates depth/line blocks before the dense Cholesky
+    # (ceres DENSE_SCHUR); "dense" factorizes the full system
+    linear_solver: str = "dense"
     lm_lambda0: float = 1e-4
     lm_lambda_factor: float = 3.0
     focal: float = 460.0              # FOCAL_LENGTH used for sqrt_info = F/1.5

@@ -58,6 +58,59 @@ def _solve_delta(H, g, lam, free_mask):
     return delta * free_mask
 
 
+def _solve_delta_schur(H, g, lam, free_mask, layout: StateLayout):
+    """Same damped system solved via the Schur complement (ceres
+    ``DENSE_SCHUR``): landmark inverse-depth columns are mutually-orthogonal
+    scalar blocks and line blocks are independent 4×4s, so eliminating them
+    costs two batched down-dates and shrinks the Cholesky from
+    ``total×total`` to ``nx×nx``."""
+    nx, ml, llq = layout.nx, layout.max_landmarks, 4 * layout.max_lines
+    eps = jnp.asarray(1e-8, H.dtype)
+    damp = lam * jnp.diagonal(H) + eps + (1.0 - free_mask)
+    Hd = H + jnp.diag(damp)
+    gn = -g * free_mask
+
+    Hcc = Hd[:nx, :nx]
+    bc = gn[:nx]
+
+    # scalar depth blocks
+    Hcd = Hd[:nx, nx : nx + ml]
+    hdd = jnp.diagonal(Hd)[nx : nx + ml]
+    bd = gn[nx : nx + ml]
+    wd = 1.0 / hdd                                   # damped ⇒ > 0
+    Hcc = Hcc - (Hcd * wd[None, :]) @ Hcd.T
+    bc = bc - Hcd @ (wd * bd)
+
+    if llq:
+        from .lines import _solve_spd4
+
+        LL = llq // 4
+        Hcl = Hd[:nx, nx + ml :].reshape(nx, LL, 4)
+        Hll = (
+            Hd[nx + ml :, nx + ml :]
+            .reshape(LL, 4, LL, 4)[jnp.arange(LL), :, jnp.arange(LL), :]
+        )                                            # [LL,4,4] diagonal blocks
+        bl = gn[nx + ml :].reshape(LL, 4)
+        sol_bl = jax.vmap(_solve_spd4)(Hll, bl)      # Hll⁻¹ bl
+        # Hll⁻¹ Hclᵀ: one unrolled-Cholesky solve per (line, camera column)
+        sol_Hcl = jax.vmap(
+            lambda A, B: jax.vmap(lambda col: _solve_spd4(A, col))(B)
+        )(Hll, jnp.swapaxes(Hcl, 0, 1))              # [LL,nx,4]
+        Hcc = Hcc - jnp.einsum("cla,lna->cn", Hcl, sol_Hcl)
+        bc = bc - jnp.einsum("cla,la->c", Hcl, sol_bl)
+
+    L = jnp.linalg.cholesky(Hcc)
+    dc = jax.scipy.linalg.cho_solve((L, True), bc)
+
+    dd = wd * (bd - Hcd.T @ dc)
+    parts = [dc, dd]
+    if llq:
+        rhs_l = bl - jnp.einsum("cla,c->la", Hcl, dc)
+        dl = jax.vmap(_solve_spd4)(Hll, rhs_l)
+        parts.append(dl.reshape(-1))
+    return jnp.concatenate(parts) * free_mask
+
+
 def _dogleg_step(H, g, free_mask, h_gn, radius):
     """Powell dogleg inside ``radius``: GN step if it fits, else the blend of
     the Cauchy point and GN on the trust boundary."""
@@ -94,6 +147,7 @@ def solve_window(
     num_iters: int = 8,
     lines=None,
     method: str = "lm",
+    linear_solver: str = "dense",
 ):
     """Run LM for ``num_iters`` fixed iterations; returns (state', tracks',
     final_cost) — or (state', tracks', lines', final_cost) when ``lines`` is
@@ -129,6 +183,13 @@ def solve_window(
         # frozen columns never move, so free_mask does not change r
         return 0.5 * jnp.sum(r * r)
 
+    if linear_solver == "schur":
+        def lin_solve(H, g, lam):
+            return _solve_delta_schur(H, g, lam, inp.free_mask, layout)
+    else:
+        def lin_solve(H, g, lam):
+            return _solve_delta(H, g, lam, inp.free_mask)
+
     def step(carry, _):
         st, tr, ln, reg, _ = carry
         J, r, c0 = lin_cost(st, tr, ln)
@@ -136,10 +197,10 @@ def solve_window(
         if method == "dogleg":
             # Powell dogleg (ceres DOGLEG, estimator.cpp:3306): `reg` is the
             # trust radius, gain-ratio controlled
-            h_gn = _solve_delta(H, g, jnp.zeros((), H.dtype), inp.free_mask)
+            h_gn = lin_solve(H, g, jnp.zeros((), H.dtype))
             delta = _dogleg_step(H, g, inp.free_mask, h_gn, reg)
         else:
-            delta = _solve_delta(H, g, reg, inp.free_mask)
+            delta = lin_solve(H, g, reg)
         st_new, tr_new, ln_new = apply_delta(st, tr, ln, delta)
         c1 = cost_only(st_new, tr_new, ln_new)
         accept = c1 < c0

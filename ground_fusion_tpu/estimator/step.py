@@ -237,11 +237,13 @@ def make_window_step(cfg: Config):
                 state, tracks, inp, layout, params,
                 num_iters=cfg.solver.max_iters, lines=lines,
                 method=cfg.solver.method,
+                linear_solver=cfg.solver.linear_solver,
             )
         else:
             state, tracks, cost = solve_window(
                 state, tracks, inp, layout, params,
                 num_iters=cfg.solver.max_iters, method=cfg.solver.method,
+                linear_solver=cfg.solver.linear_solver,
             )
         # anchor-camera lines (LINEINCAM) are gauge-invariant: the yaw/position
         # re-anchor below carries them along with their anchor pose for free

@@ -134,6 +134,32 @@ def test_solver_recovers_perturbed_window(problem):
     assert dep_err1 < 5e-3
 
 
+def test_schur_linear_solver_matches_dense(problem):
+    """DENSE_SCHUR-style block elimination (_solve_delta_schur) must produce
+    the same Newton step as the full dense Cholesky — block elimination is
+    algebraically exact."""
+    from ground_fusion_tpu.estimator.assembly import assemble_rows, normal_equations
+    from ground_fusion_tpu.estimator.solver import _solve_delta, _solve_delta_schur
+
+    layout = problem["layout"]
+    f = problem["cfg"].num_frames
+    free = np.ones(layout.total)
+    free[: 2 * PER_FRAME] = 0.0
+    free[PER_FRAME * f : layout.nx] = 0.0
+    inp = _solve_inputs(problem, jnp.asarray(free, DT))
+    p = _params()
+    J, r = assemble_rows(
+        problem["state"], problem["tracks"], inp, layout,
+        p.sqrt_info_scale, p.cauchy_delta, p.plane_sqrt_info,
+    )
+    H, g = normal_equations(J, r)
+    lam = jnp.asarray(1e-4, DT)
+    d_dense = _solve_delta(H, g, lam, inp.free_mask)
+    d_schur = _solve_delta_schur(H, g, lam, inp.free_mask, layout)
+    np.testing.assert_allclose(np.asarray(d_schur), np.asarray(d_dense),
+                               rtol=1e-6, atol=1e-9)
+
+
 def test_dogleg_recovers_perturbed_window(problem):
     """Same problem solved with the Powell dogleg strategy (ceres DOGLEG,
     estimator.cpp:3306) — must converge to the same answer as LM."""
