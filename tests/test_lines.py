@@ -127,3 +127,32 @@ def test_detect_and_match_segments():
     idx, matched = np.asarray(idx), np.asarray(matched)
     good = (idx[ok] == np.arange(len(idx))[ok]) & matched[ok]
     assert good.mean() > 0.6
+
+
+def test_line_tracker_id_persistence():
+    """LineTracker (linefeature_tracker.cpp readImage role): a segment
+    tracked across a small image shift keeps its id; output is id →
+    normalized endpoints."""
+    from ground_fusion_tpu.frontend.lines import LineTracker
+
+    img = np.full((128, 160), 10.0, np.float32)
+    img[:, 60:] += 100.0
+    img[40:, :] += 60.0
+
+    trk = LineTracker(fx=100.0, fy=100.0, cx=80.0, cy=64.0,
+                      max_lines=32, min_len_px=8.0)
+    obs1 = trk.track(img)
+    assert len(obs1) >= 4
+    for ob in obs1.values():
+        assert ob.shape == (4,)
+        assert np.all(np.abs(ob) < 2.0)  # normalized-plane magnitudes
+
+    img2 = np.roll(img, 2, axis=1)
+    obs2 = trk.track(img2)
+    shared = set(obs1) & set(obs2)
+    assert len(shared) >= max(2, len(obs1) // 3), (
+        f"ids not persistent: {len(shared)} shared of {len(obs1)}")
+    # the shared segments moved by ~2px/fx in normalized x
+    for lid in shared:
+        dx = obs2[lid][[0, 2]] - obs1[lid][[0, 2]]
+        assert np.all(np.abs(dx - 2.0 / 100.0) < 0.05)
