@@ -31,7 +31,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..frontend.lines import line_residual_raw, orth_to_plk, plk_to_orth
+from ..frontend.lines import orth_to_plk, plk_to_orth
 from ..geometry.se3 import pose_boxplus, pose_compose
 from ..geometry.so3 import quat_to_mat
 from .layout import PER_FRAME, StateLayout
