@@ -1,20 +1,32 @@
 """Benchmark: fused window-step throughput on the available accelerator.
 
-Prints one JSON line ``{"metric", "value", "unit", "vs_baseline"}``.
+Prints one JSON line ``{"metric", "value", "unit", "vs_baseline", ...}``.
 
 Baseline: the reference solves every 2nd camera frame at 30 Hz topic rate
 (~15 BA solves/s on CPU, ≤8 Ceres iterations each; ``estimator.cpp:224-232,
 3303-3318``; BASELINE.md). One fused window step here = one full keyframe
 solve (preintegrate + triangulate + 8 LM iterations + marginalize + slide),
 so ``vs_baseline = steps_per_s / 15``.
+
+Measurement protocol (round-3 fix of the r02 "regression"): the axon remote
+TPU tunnel has large run-to-run contention — identical code measured
+3253/4936/7169 steps/s back-to-back — so a single timing round is
+meaningless. The bench now runs ROUNDS independent rounds of ITERS chained
+steps and reports the MEDIAN round as ``value`` with the per-round list and
+min/max spread alongside, so a backend-noise swing can never masquerade as a
+code regression again.
 """
 
 from __future__ import annotations
 
 import json
+import statistics
 import time
 
 import numpy as np
+
+ROUNDS = 5
+ITERS = 30
 
 
 def main() -> None:
@@ -64,20 +76,23 @@ def main() -> None:
     out = step(core, flags)
     jax.block_until_ready(out)
 
-    iters = 50
-    t0 = time.perf_counter()
-    c = core
-    for _ in range(iters):
-        c, o = step(c, flags)
-    jax.block_until_ready((c, o))
-    dt = time.perf_counter() - t0
-    steps_per_s = iters / dt
+    rounds = []
+    for _ in range(ROUNDS):
+        c = core
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            c, o = step(c, flags)
+        jax.block_until_ready((c, o))
+        rounds.append(ITERS / (time.perf_counter() - t0))
 
+    med = statistics.median(rounds)
     print(json.dumps({
         "metric": "window_steps_per_s",
-        "value": round(steps_per_s, 2),
-        "unit": "solved keyframes/s (full window step: preint+triangulate+8LM+marg+slide)",
-        "vs_baseline": round(steps_per_s / 15.0, 2),
+        "value": round(med, 2),
+        "unit": "solved keyframes/s (full window step: preint+triangulate+8LM+marg+slide; median of %d rounds)" % ROUNDS,
+        "vs_baseline": round(med / 15.0, 2),
+        "rounds": [round(r, 1) for r in rounds],
+        "spread": [round(min(rounds), 1), round(max(rounds), 1)],
     }))
 
 

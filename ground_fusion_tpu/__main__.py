@@ -27,7 +27,7 @@ def main(argv=None):
     seq = Sequence.load(seq_dir)
     sys_ = GroundFusionSystem(cfg, out_dir)
 
-    imu_i = wheel_i = 0
+    imu_i = wheel_i = gnss_i = 0
     for k, (t, img_path, dep_path) in enumerate(seq.frames):
         while imu_i < len(seq.imu) and seq.imu[imu_i, 0] <= t:
             row = seq.imu[imu_i]
@@ -38,6 +38,23 @@ def main(argv=None):
                 row = seq.wheel[wheel_i]
                 sys_.input_wheel(row[0], row[1:4], row[4:7])
                 wheel_i += 1
+        if seq.gnss is not None and cfg.gnss.enabled:
+            # gnss.csv rows sharing a timestamp form one epoch (the GNSS
+            # meas-msg grouping of rosNodeTest.cpp:678-711); feed each epoch
+            # up to this frame through the tight-coupling path
+            while gnss_i < len(seq.gnss) and seq.gnss[gnss_i, 0] <= t:
+                t_ep = seq.gnss[gnss_i, 0]
+                epoch = []
+                while gnss_i < len(seq.gnss) and seq.gnss[gnss_i, 0] == t_ep:
+                    r = seq.gnss[gnss_i]
+                    epoch.append(dict(
+                        sat=int(r[1]), sys=int(r[2]), psr=r[3], dopp_wl=r[4],
+                        psr_std=r[5], dopp_std=r[6], sat_pos=r[7:10].copy(),
+                        sat_vel=r[10:13].copy(), svdt=r[13], svddt=r[14],
+                        tgd=r[15],
+                    ))
+                    gnss_i += 1
+                sys_.input_gnss(t_ep, epoch)
         img = load_image(img_path)
         depth = load_image(dep_path) if dep_path else None
         pose = sys_.input_image(t, img, depth)

@@ -209,7 +209,10 @@ class Config:
     lines: LineFeatureConfig = field(default_factory=LineFeatureConfig)
     loop: LoopConfig = field(default_factory=LoopConfig)
     map: MapConfig = field(default_factory=MapConfig)
-    use_depth: bool = False           # RGBD depth-aided triangulation
+    # RGBD mode (the reference's DEPTH flag, groundchallenge.yaml:5): gates
+    # depth-verified triangulation in the window step and selects the
+    # Depth/WD linear-alignment variants + metric SfM at initialization
+    use_depth: bool = True
     use_line: bool = False
     use_yolo: bool = False
     use_mcc: bool = False             # movingConsistencyCheck outlier gate

@@ -154,9 +154,14 @@ def find_pivot_frame(tracks: Tracks, min_parallax: float = 30.0 / 460.0,
     return -1
 
 
-def sfm_construct(tracks: Tracks, key, dtype=jnp.float64):
+def sfm_construct(tracks: Tracks, key, dtype=jnp.float64, use_depth: bool = False):
     """Global SfM over the window (initial_sfm.cpp construct): pivot two-view
     relative pose → triangulate → PnP every other frame → triangulate all.
+    With ``use_depth`` the monocular-scale cloud is rescaled to metric by the
+    median ratio of measured RGBD depths to triangulated depths at the pivot
+    frame — the role of ``GlobalSFM::constructWithDepth`` (initial_sfm.cpp) /
+    ``relativePoseWithDepth`` (estimator.cpp:2057-2127), re-designed: one
+    robust global scale instead of per-point depth substitution.
     Returns (poses [F,7] — cam frames, world = pivot cam; ok)."""
     ml, f = np.asarray(tracks.obs_valid).shape
     l = find_pivot_frame(tracks)
@@ -173,24 +178,83 @@ def sfm_construct(tracks: Tracks, key, dtype=jnp.float64):
     if not bool(ok):
         return None, False
 
-    poses = jnp.tile(make_pose(jnp.zeros(3, dtype), jnp.asarray([1.0, 0, 0, 0], dtype)), (f, 1))
-    poses = poses.at[newest].set(pose_rel)
-
     # triangulate pivot-pair points (world = pivot camera frame)
     R = quat_to_mat(pose_rel[3:7]).T            # x_new = R x_l + t
     t = -R @ pose_rel[0:3]
     zi, _ = _triangulate_pair(R, t, obs[:, l, 0:2], obs[:, newest, 0:2])
     pts_ok = both & inl & (zi > 0.1)
+
+    if use_depth:
+        meas_d = obs[:, l, 4]
+        d_ok = np.asarray(pts_ok & (meas_d > 0.1) & (meas_d < 20.0))
+        if d_ok.sum() >= 8:
+            ratio = np.asarray(meas_d)[d_ok] / np.asarray(zi)[d_ok]
+            s_med = float(np.median(ratio))
+            if s_med > 1e-3:
+                zi = zi * s_med
+                pose_rel = pose_rel.at[0:3].multiply(s_med)
+
+    poses = jnp.tile(make_pose(jnp.zeros(3, dtype), jnp.asarray([1.0, 0, 0, 0], dtype)), (f, 1))
+    poses = poses.at[newest].set(pose_rel)
     rays = jnp.concatenate([obs[:, l, 0:2], jnp.ones((ml, 1), dtype)], axis=-1)
     pts_w = rays * zi[:, None]
 
-    # PnP every other frame from the triangulated cloud, then re-triangulate
-    for k in range(f):
-        if k == l or k == newest:
-            continue
-        vis = pts_ok & ov[:, k]
-        seed = poses[l] if k < newest else poses[newest]
-        pose_k = pnp_gn(seed, pts_w, obs[:, k, 0:2],
-                        vis.astype(dtype), iters=10)
-        poses = poses.at[k].set(pose_k)
-    return poses, True
+    # Incremental resection ↔ intersection, the reference's construct order
+    # (initial_sfm.cpp: PnP frame i from known points, triangulate (i,
+    # newest), then frames before l backwards, then triangulate all) recast
+    # as fixed passes of {PnP every resectable frame; batched multi-view
+    # re-triangulation of every track over the known poses}.
+    known = np.zeros(f, bool)
+    known[l] = known[newest] = True
+    for _ in range(3):
+        for k in range(f):
+            if known[k]:
+                continue
+            vis = pts_ok & ov[:, k]
+            if int(jnp.sum(vis)) < 6:
+                continue
+            near = min((kk for kk in range(f) if known[kk]), key=lambda kk: abs(kk - k))
+            pose_k = pnp_gn(poses[near], pts_w, obs[:, k, 0:2],
+                            vis.astype(dtype), iters=10)
+            poses = poses.at[k].set(pose_k)
+            known[k] = True
+        pts_w, pts_ok = _sfm_triangulate_all(poses, jnp.asarray(known), obs, ov)
+        if known.all():
+            # one more intersection so the final cloud uses every pose
+            pts_w, pts_ok = _sfm_triangulate_all(poses, jnp.asarray(known), obs, ov)
+            break
+    return poses, bool(known.all())
+
+
+def _sfm_triangulate_all(poses, known, obs, ov, reproj_thresh: float = 10.0 / 460.0):
+    """Batched multi-view DLT of every track over the frames whose SfM pose
+    is known (the intersection half of initial_sfm.cpp's construct loop):
+    two rows per observation, smallest eigenvector of the 4×4 normal matrix,
+    validity by observation count, cheirality and reprojection error."""
+    ml, f = ov.shape
+    dtype = obs.dtype
+    R = quat_to_mat(poses[:, 3:7])                        # [F,3,3] world_R_cam
+    Rt = jnp.swapaxes(R, -1, -2)
+    Pt = -jnp.einsum("fij,fj->fi", Rt, poses[:, 0:3])
+    P = jnp.concatenate([Rt, Pt[..., None]], axis=-1)     # [F,3,4]
+
+    ray = jnp.concatenate([obs[..., 0:2], jnp.ones((ml, f, 1), dtype)], axis=-1)
+    fdir = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+    row0 = fdir[..., 0:1] * P[None, :, 2, :] - fdir[..., 2:3] * P[None, :, 0, :]
+    row1 = fdir[..., 1:2] * P[None, :, 2, :] - fdir[..., 2:3] * P[None, :, 1, :]
+    use = ov & known[None, :]
+    w = use[..., None].astype(dtype)
+    A = jnp.concatenate([row0 * w, row1 * w], axis=1)     # [ML,2F,4]
+    AtA = jnp.einsum("mri,mrj->mij", A, A)
+    _, V = jnp.linalg.eigh(AtA)
+    v = V[..., 0]
+    wpt = v[:, 0:3] / jnp.where(jnp.abs(v[:, 3:4]) > 1e-9, v[:, 3:4], 1e-9)
+
+    # cheirality + reprojection gate over the known observing frames
+    pc = jnp.einsum("fij,mfj->mfi", Rt, wpt[:, None, :] - poses[None, :, 0:3])
+    proj = pc[..., 0:2] / jnp.maximum(pc[..., 2:3], 1e-6)
+    resid = jnp.linalg.norm(proj - obs[..., 0:2], axis=-1)
+    obs_good = use & (pc[..., 2] > 0.05) & (resid < reproj_thresh)
+    n_good = jnp.sum(obs_good, axis=1)
+    ok = (n_good >= 2) & (n_good >= jnp.sum(use, axis=1) - 1)
+    return wpt, ok

@@ -160,7 +160,13 @@ def make_window_step(cfg: Config):
             jnp.ones(f, bool) if cfg.plane.enabled else jnp.zeros(f, bool)
         )
 
-        tracks = triangulate_all(state, tracks, depth_max=cfg.tracker.depth_max)
+        if cfg.use_depth:
+            # depth-verified first, SVD fallback (estimator.cpp:1068-1075)
+            tracks = triangulate_all(state, tracks, depth_max=cfg.tracker.depth_max)
+        else:
+            from .triangulation import triangulate_svd
+
+            tracks = triangulate_svd(state, tracks)
 
         use_lines = cfg.use_line and core.lines is not None
         lines = core.lines

@@ -89,7 +89,7 @@ class Estimator:
             self.native = None
         self.gnss_aligned = False
         self._first_gnss_opt = True   # estimator.cpp:152 (reset by clearState)
-        self._pending_gnss: Optional[list] = None
+        self._pending_gnss: Optional[tuple] = None   # (epoch time, obs list)
         self.solver_flag = self.INITIAL
         self.frame_count = 0              # frames currently occupied (fill phase)
         self.ts: list[float] = []
@@ -196,10 +196,11 @@ class Estimator:
 
     def input_gnss(self, t: float, obs_list: list[dict]) -> None:
         """One GNSS epoch (list of per-satellite obs dicts, see
-        gnss.ingest). Attached to the next camera frame (the reference's
-        time-pulse sync, rosNodeTest.cpp GNSS callbacks)."""
+        gnss.ingest). Attached to the window at the bracketing-frame slot
+        with its epoch time (the reference's time-pulse sync,
+        rosNodeTest.cpp GNSS callbacks + estimator.cpp:3193-3207)."""
         if self.gnss is not None:
-            self._pending_gnss = obs_list
+            self._pending_gnss = (t, obs_list)
 
     # ------------------------------------------------------- interval building
 
@@ -409,7 +410,7 @@ class Estimator:
 
         # wheel dead-reckoned pose prediction during fill (initFramePoseByOdom
         # analog, feature_manager.cpp:407-545)
-        if k > 0:
+        if k > 0 and self.cfg.wheel.enabled:
             self._predict_pose_from_wheel(min(k, f - 1))
         self.frame_count += 1
         if self.frame_count == f:
@@ -468,8 +469,10 @@ class Estimator:
 
     def _initialize(self) -> bool:
         """3-mode dispatch (``Estimator::initialStructure``,
-        estimator.cpp:1557-1847): stationary → bias-only; excited → gyro-bias
-        solve + wheel linear alignment + gravity alignment."""
+        estimator.cpp:1557-1847): stationary → bias-only; excited + wheel →
+        gyro-bias solve + wheel linear alignment + gravity alignment; else →
+        visual SfM + PnP + VisualIMUAlignment (path C,
+        estimator.cpp:1712-1847, dispatch initial_aligment.cpp:640-653)."""
         cfg = self.cfg
         stats = self._imu_stats()
         if stats is None:
@@ -491,10 +494,22 @@ class Estimator:
             self.core = self.core._replace(state=st._replace(poses=poses, sbs=sbs))
             return True
 
-        # dynamic / wheel-activation path
+        # dynamic / wheel-activation path (path B, estimator.cpp:1645-1682):
+        # gyro bias from wheel-predicted rotations + wheel linear alignment.
+        # On failure (or without a wheel) fall through to the visual path —
+        # the reference's general initializer.
+        n18 = noise_cov(cfg.imu.acc_n, cfg.imu.gyr_n, cfg.imu.acc_w, cfg.imu.gyr_w, self.dtype)
+        imu_pre = preintegrate_imu_window(self.core.imu_buf, st.sbs, n18)
+        if cfg.wheel.enabled and self._wheel_excitation_init(st, imu_pre):
+            return True
+        return self._visual_initialize(imu_pre)
+
+    def _wheel_excitation_init(self, st, imu_pre) -> bool:
+        """Wheel-activation init (path B): gyro bias from the wheel-predicted
+        window rotations, wheel-aided linear alignment, gravity alignment."""
+        cfg = self.cfg
         n18 = noise_cov(cfg.imu.acc_n, cfg.imu.gyr_n, cfg.imu.acc_w, cfg.imu.gyr_w, self.dtype)
         n12 = wheel_noise_cov(cfg.wheel.vel_n, cfg.wheel.gyr_n, self.dtype)
-        imu_pre = preintegrate_imu_window(self.core.imu_buf, st.sbs, n18)
         valid = jnp.asarray(np.arange(self.f) >= 1)
         dbg = solve_gyroscope_bias(st.poses[:, 3:7], imu_pre, valid)
         sbs = st.sbs.at[:, 6:9].add(dbg)
@@ -523,6 +538,84 @@ class Estimator:
             if bool(cal_ok):
                 ex = st.ex_cam.at[3:7].set(mat_to_quat(ric).astype(self.dtype))
                 st = st._replace(ex_cam=ex)
+        self.core = self.core._replace(state=st)
+        return True
+
+    def _visual_initialize(self, imu_pre) -> bool:
+        """Visual-SfM initialization (path C — the reference's general mode,
+        ``estimator.cpp:1712-1847``): global SfM over the window
+        (relativePose → GlobalSFM.construct → PnP every frame), gyro bias
+        from SfM rotations, then the VisualIMUAlignment linear system picked
+        by sensor availability (initial_aligment.cpp:640-653: WD | Wheel |
+        Depth | mono) and gravity alignment (visualInitialAlign,
+        estimator.cpp:1849-1926).
+
+        Divergence: the fork re-installs the stationary accel-bias formula
+        after a successful visual init (estimator.cpp:1826-1837) — skipped
+        here, since ``aver_g`` mixes true acceleration into the bias when the
+        platform is moving (upstream VINS-Mono does not do this either)."""
+        from .estimator.sfm import sfm_construct
+
+        cfg = self.cfg
+        st = self.core.state
+        use_depth = bool(cfg.use_depth) and bool(
+            np.any(np.asarray(self.core.tracks.obs[..., 4]) > 0.1))
+        poses_cam, ok = sfm_construct(
+            self.core.tracks, jax.random.PRNGKey(len(self.ts)),
+            use_depth=use_depth,
+        )
+        if not ok:
+            return False
+        poses_cam = poses_cam.astype(self.dtype)
+        ric = quat_to_mat(st.ex_cam[3:7])
+        tic = st.ex_cam[0:3]
+        # body rotation from SfM camera rotation: R_w_b = R_w_c · RICᵀ
+        # (estimator.cpp:1758 frame.R = Q[i] · RIC[0].transpose())
+        R_body = jnp.einsum("kij,lj->kil", quat_to_mat(poses_cam[:, 3:7]), ric)
+        q_body = mat_to_quat(R_body)
+        Ts = poses_cam[:, 0:3]                 # SfM camera centers
+
+        # gyro bias from the SfM rotations, then re-preintegrate
+        n18 = noise_cov(cfg.imu.acc_n, cfg.imu.gyr_n, cfg.imu.acc_w, cfg.imu.gyr_w, self.dtype)
+        valid = jnp.asarray(np.arange(self.f) >= 1)
+        dbg = solve_gyroscope_bias(q_body, imu_pre, valid)
+        st = st._replace(sbs=st.sbs.at[:, 6:9].add(dbg))
+        imu_pre = preintegrate_imu_window(self.core.imu_buf, st.sbs, n18)
+
+        if cfg.wheel.enabled:
+            from .estimator.initialization import linear_alignment_wd
+
+            n12 = wheel_noise_cov(cfg.wheel.vel_n, cfg.wheel.gyr_n, self.dtype)
+            wheel_pre = preintegrate_wheel_window(
+                self.core.wheel_buf, st.s_wheel, st.td_wheel, n12)
+            tio = st.ex_wheel[0:3]
+            rio = quat_to_mat(st.ex_wheel[3:7])
+            if use_depth:
+                ok, g_est, vels_body, s = linear_alignment_wd(
+                    R_body, Ts, imu_pre, wheel_pre, tic, tio, rio, cfg.imu.g_norm)
+            else:
+                ok, g_est, vels_body, s = linear_alignment_wheel(
+                    R_body, Ts, imu_pre, wheel_pre, tic, tio, rio, cfg.imu.g_norm)
+        else:
+            from .estimator.initialization import (
+                linear_alignment_depth, linear_alignment_mono,
+            )
+
+            if use_depth:
+                ok, g_est, vels_body, s = linear_alignment_depth(
+                    R_body, Ts, imu_pre, tic, cfg.imu.g_norm)
+            else:
+                ok, g_est, vels_body, s = linear_alignment_mono(
+                    R_body, Ts, imu_pre, tic, cfg.imu.g_norm)
+        if not bool(ok):
+            return False
+
+        # camera centers → body origins at the recovered scale, re-zeroed at
+        # frame 0 (visualInitialAlign: Ps[i] = s·Pi − Ri·TIC − (s·P0 − R0·TIC))
+        Ps = s * Ts - jnp.einsum("kij,j->ki", R_body, tic)
+        Ps = Ps - Ps[0]
+        st = st._replace(poses=jnp.concatenate([Ps, q_body], axis=-1).astype(self.dtype))
+        st = align_window_to_gravity(st, g_est, vels_body, cfg.imu.g_norm)
         self.core = self.core._replace(state=st)
         return True
 
@@ -671,29 +764,39 @@ class Estimator:
         self.reboots = getattr(self, "reboots", 0) + 1
 
     def _attach_gnss_epoch(self):
-        """Gate + store the pending epoch into the window table at the slot
-        referencing the newest frame (slot F-2, ratio 0 → pure pose[F-1])."""
+        """Gate + store the pending epoch into the window table at its
+        bracketing-frame slot. The reference interpolates the state between
+        the two frames that straddle the epoch time (``estimator.cpp:
+        3193-3207``: lower_idx from Headers vs obs time, ts_ratio =
+        (upper−obs)/(upper−lower)); slot k of the table is defined as
+        "bracketed by frames k and k+1", so the epoch lands at the lower
+        frame with its true interpolation ratio."""
         if self.gnss is None or self._pending_gnss is None:
             return
+        t_obs, obs_list = self._pending_gnss
         obs = self.gnss.process_epoch(
-            self._pending_gnss, self.gnss_aligned,
+            obs_list, self.gnss_aligned,
             np.asarray(self.core.state.anc_ecef) if self.gnss_aligned else None,
         )
         self._pending_gnss = None
-        if not obs or self.core.gnss_obs is None:
+        if not obs or self.core.gnss_obs is None or len(self.ts) < 2:
             return
+        ts = np.asarray(self.ts, np.float64)
+        lower = int(np.searchsorted(ts, t_obs, side="right") - 1)
+        lower = max(0, min(lower, len(ts) - 2, self.f - 2))
+        denom = max(float(ts[lower + 1] - ts[lower]), 1e-9)
+        ratio = float(np.clip((ts[lower + 1] - t_obs) / denom, 0.0, 1.0))
         for o in obs:
-            o["ratio"] = 0.0
+            o["ratio"] = ratio
         anc = np.asarray(self.core.state.anc_ecef)
         slot = self.gnss.build_slot(obs, anc if self.gnss_aligned else None,
                                     p_local_ecef=anc if self.gnss_aligned else
                                     np.asarray(obs[0]["sat_pos"]) * 0.0)
         g = self.core.gnss_obs
-        f = self.f
         upd = {}
         for k, v in slot.items():
             arr = getattr(g, k)
-            upd[k] = arr.at[f - 2].set(jnp.asarray(v, arr.dtype))
+            upd[k] = arr.at[lower].set(jnp.asarray(v, arr.dtype))
         self.core = self.core._replace(gnss_obs=g._replace(**upd))
 
     def _try_gnss_align(self):
