@@ -1,6 +1,8 @@
-"""Mesh-sharded Schur BA: the sharded solve must agree with ground truth to
-solver tolerance on the virtual 8-device CPU mesh (SURVEY §4: distributed
-windows solved on 1 chip vs N-shard must agree)."""
+"""Distributed oracle (SURVEY §4): the FULL fused window step executed SPMD
+over the virtual 8-device CPU mesh must equal the single-device step to
+solver tolerance — all factor classes, LM accept/reject, marginalization and
+the slide included, since the sharded program IS the single-chip program
+under GSPMD partitioning (parallel/sharded.py)."""
 
 import jax
 import jax.numpy as jnp
@@ -8,66 +10,68 @@ import numpy as np
 import pytest
 
 from ground_fusion_tpu.config import Config
-from ground_fusion_tpu.estimator.assembly import SolveInputs, empty_prior
-from ground_fusion_tpu.estimator.buffers import (
-    preintegrate_imu_window,
-    preintegrate_wheel_window,
-)
-from ground_fusion_tpu.estimator.layout import PER_FRAME, StateLayout
-from ground_fusion_tpu.estimator.window import retract
-from ground_fusion_tpu.parallel.sharded import make_sharded_gn, shard_tracks
-from ground_fusion_tpu.preintegration.imu import noise_cov
-from ground_fusion_tpu.preintegration.wheel import wheel_noise_cov
+from ground_fusion_tpu.estimator.assembly import empty_prior
+from ground_fusion_tpu.estimator.layout import StateLayout
+from ground_fusion_tpu.estimator.step import EstimatorCore, StepFlags, make_window_step
+from ground_fusion_tpu.parallel.sharded import make_lm_mesh, shard_core
 from ground_fusion_tpu.sim.synthetic import SimParams, build_window_problem
 
 DT = jnp.float64
 
 
-def test_sharded_gn_recovers_window():
+def test_sharded_full_step_matches_single_device():
+    """N-device output ≡ single-device `make_window_step` output (both
+    marginalization branches)."""
     cfg = Config()
     sp = SimParams()
+    step, layout = make_window_step(cfg)
     prob = build_window_problem(cfg, sp, dtype=DT)
-    layout = StateLayout(cfg.num_frames, cfg.solver.max_landmarks)
     f = cfg.num_frames
 
-    n18 = noise_cov(cfg.imu.acc_n, cfg.imu.gyr_n, cfg.imu.acc_w, cfg.imu.gyr_w, DT)
-    n12 = wheel_noise_cov(cfg.wheel.vel_n, cfg.wheel.gyr_n, DT)
-    imu_pre = preintegrate_imu_window(prob["imu_buf"], prob["state"].sbs, n18)
-    wheel_pre = preintegrate_wheel_window(
-        prob["wheel_buf"], prob["state"].s_wheel, prob["state"].td_wheel, n12
-    )
-    free = np.ones(layout.total)
-    free[: 2 * PER_FRAME] = 0.0
-    free[PER_FRAME * f : layout.nx] = 0.0
-    inp = SolveInputs(
-        imu_pre=imu_pre, imu_valid=prob["interval_valid"],
-        wheel_pre=wheel_pre, wheel_valid=prob["interval_valid"],
-        plane_valid=jnp.zeros(f, bool), td_obs=jnp.zeros(f, DT),
-        prior=empty_prior(layout, f, DT),
-        g=jnp.array([0.0, 0.0, sp.g_norm], DT),
-        free_mask=jnp.asarray(free, DT),
-    )
-
     rng = np.random.default_rng(3)
-    delta = np.zeros(layout.nx)
-    for k in range(2, f):
-        delta[PER_FRAME * k : PER_FRAME * k + 6] = rng.normal(0, 0.02, 6)
-    state0 = retract(prob["state"], jnp.asarray(delta, DT), layout)
+    state0 = prob["state"]._replace(
+        poses=prob["state"].poses.at[2:, 0:3].add(
+            jnp.asarray(rng.normal(0, 0.01, (f - 2, 3)), DT))
+    )
     tracks0 = prob["tracks"]._replace(
         inv_depth=prob["tracks"].inv_depth
         * (1.0 + 0.05 * jnp.asarray(rng.normal(0, 1, cfg.solver.max_landmarks)))
     )
+    core = EstimatorCore(
+        state=state0, tracks=tracks0, imu_buf=prob["imu_buf"],
+        wheel_buf=prob["wheel_buf"], prior=empty_prior(layout, f, DT),
+    )
 
-    mesh = jax.make_mesh((8,), ("lm",))
-    solve = make_sharded_gn(cfg, mesh, iters=10)
-    tracks_sh = shard_tracks(tracks0, mesh)
-    state1, tracks1 = solve(state0, tracks_sh, inp)
+    mesh = make_lm_mesh(8)
+    for marg_old in (True, False):
+        flags = StepFlags(
+            marg_old=jnp.asarray(marg_old), stationary=jnp.asarray(False),
+            wheel_valid=prob["interval_valid"], imu_valid=prob["interval_valid"],
+            td_obs=jnp.zeros(f, DT),
+            frame_dts=jnp.asarray(np.diff(prob["ts"], prepend=prob["ts"][0])),
+            propagate_newest=jnp.asarray(False),
+        )
+        core1, out1 = step(core, flags)
+        core8, out8 = step(shard_core(core, mesh), flags)
 
-    pos_err = float(jnp.max(jnp.abs(state1.poses[:, 0:3] - prob["state"].poses[:, 0:3])))
-    assert pos_err < 2e-3, f"sharded GN pose error {pos_err}"
-    dep_err = float(jnp.max(jnp.abs(jnp.where(
-        prob["tracks"].active, tracks1.inv_depth - prob["tracks"].inv_depth, 0.0))))
-    assert dep_err < 5e-3, f"sharded GN depth error {dep_err}"
+        np.testing.assert_allclose(
+            np.asarray(out8["poses"]), np.asarray(out1["poses"]),
+            atol=1e-8, err_msg=f"solved poses diverge (marg_old={marg_old})")
+        np.testing.assert_allclose(
+            np.asarray(core8.tracks.inv_depth), np.asarray(core1.tracks.inv_depth),
+            atol=1e-8, err_msg="slid landmark depths diverge")
+        # the prior is a SQUARE-ROOT factor from an eigh: the factor itself is
+        # only defined up to an orthogonal rotation within (near-)degenerate
+        # eigenspaces, so compare the invariants J0ᵀJ0 (information matrix)
+        # and J0ᵀr0 (gradient), not the raw factor
+        J1, r1 = np.asarray(core1.prior.J0), np.asarray(core1.prior.r0)
+        J8, r8 = np.asarray(core8.prior.J0), np.asarray(core8.prior.r0)
+        np.testing.assert_allclose(
+            J8.T @ J8, J1.T @ J1, atol=1e-5,
+            err_msg="marginalization prior information diverges")
+        np.testing.assert_allclose(
+            J8.T @ r8, J1.T @ r1, atol=1e-5,
+            err_msg="marginalization prior gradient diverges")
 
 
 def test_sharded_pose_graph_matches_single():
