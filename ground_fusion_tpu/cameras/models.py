@@ -276,3 +276,69 @@ def scaramuzza_lift_projective(cam: ScaramuzzaParams, uv: jax.Array) -> jax.Arra
         z = z * rho + cam.poly[k]
     ray = jnp.stack([u, v, -z], axis=-1)   # -z: OCamCalib looks along -z
     return ray / jnp.maximum(jnp.abs(ray[..., 2:3]), 1e-12) * jnp.sign(ray[..., 2:3])
+
+
+# ---------------------------------------------------------------------------
+# Factory (CameraFactory.cc:32-93 analog)
+# ---------------------------------------------------------------------------
+
+
+class CameraModel(NamedTuple):
+    """A dispatched camera: parameter pytree + the two camodocal primitives
+    (``liftProjective`` / ``spaceToPlane``) bound for it. Built by
+    :func:`make_camera` from the config's model string, the analog of
+    ``camodocal::CameraFactory::generateCamera`` (CameraFactory.cc:32-93)."""
+
+    name: str
+    params: NamedTuple
+    lift: object       # (params, uv [...,2]) -> ray [...,3]
+    project: object    # (params, pts [...,3]) -> uv [...,2]
+
+    def lift_projective(self, uv):
+        return self.lift(self.params, uv)
+
+    def space_to_plane(self, pts):
+        return self.project(self.params, pts)
+
+
+def make_camera(model: str, fx: float, fy: float, cx: float, cy: float,
+                distortion=(), dtype=jnp.float32) -> CameraModel:
+    """Build the camera selected by ``cfg.camera.model``.
+
+    Distortion-tuple layout per model (mirrors the per-model YAML blocks the
+    reference's CameraFactory parses):
+      pinhole       k1, k2, p1, p2
+      pinhole_full  k1..k6, p1, p2
+      mei           xi, k1, k2, p1, p2
+      equidistant   k2, k3, k4, k5        (Kannala-Brandt)
+      scaramuzza    a0..a4 (cam2world poly), then the world2cam inv_poly
+    """
+    m = model.lower().replace("-", "_")
+    d = tuple(float(v) for v in distortion)
+
+    def pad(n):
+        return d + (0.0,) * (n - len(d))
+
+    if m in ("pinhole", "radtan"):
+        params = PinholeParams.make(fx, fy, cx, cy, *pad(4)[:4], dtype=dtype)
+        return CameraModel("pinhole", params, pinhole_lift_projective,
+                           pinhole_space_to_plane)
+    if m in ("pinhole_full", "pinholefull"):
+        params = PinholeFullParams.make(fx, fy, cx, cy, *pad(8)[:8], dtype=dtype)
+        return CameraModel("pinhole_full", params, pinhole_full_lift_projective,
+                           pinhole_full_space_to_plane)
+    if m in ("mei", "cata", "catadioptric"):
+        xi, k1, k2, p1, p2 = pad(5)[:5]
+        params = MeiParams.make(xi, fx, fy, cx, cy, k1, k2, p1, p2, dtype=dtype)
+        return CameraModel("mei", params, mei_lift_projective, mei_space_to_plane)
+    if m in ("equidistant", "kannala_brandt", "fisheye"):
+        params = EquidistantParams.make(fx, fy, cx, cy, *pad(4)[:4], dtype=dtype)
+        return CameraModel("equidistant", params, equidistant_lift_projective,
+                           equidistant_space_to_plane)
+    if m in ("scaramuzza", "ocam"):
+        poly = pad(5)[:5]
+        inv_poly = d[5:] if len(d) > 5 else (fx,)   # rho ≈ f·theta fallback
+        params = ScaramuzzaParams.make(poly, inv_poly, cx=cx, cy=cy, dtype=dtype)
+        return CameraModel("scaramuzza", params, scaramuzza_lift_projective,
+                           scaramuzza_space_to_plane)
+    raise ValueError(f"unknown camera model {model!r}")

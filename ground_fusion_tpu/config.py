@@ -97,7 +97,6 @@ class TrackerConfig:
     patch_half: int = 10              # LK window half-size (21x21 in reference)
     lk_iters: int = 10
     fb_thresh_px: float = 0.5         # reverse-flow consistency gate (feature_tracker.cpp:137-153)
-    f_threshold: float = 1.0          # RANSAC/fundamental reproj gate
     border: int = 5
     depth_min: float = 0.1
     depth_max: float = 7.0
@@ -107,7 +106,6 @@ class TrackerConfig:
 class SolverConfig:
     window_size: int = 10             # WINDOW_SIZE (parameters.h:24) -> 11 poses
     max_landmarks: int = 128          # active landmark slots in the BA
-    max_obs_per_frame: int = 128
     max_iters: int = 8                # NUM_ITERATIONS
     # trust-region strategy: "dogleg" = ceres DOGLEG (estimator.cpp:3306),
     # "lm" = Levenberg–Marquardt damping
@@ -179,6 +177,9 @@ class LoopConfig:
     hamming_thresh: int = 80          # keyframe.cpp:215
     pnp_reproj_px: float = 10.0       # keyframe.cpp:299-305
     min_matches: int = 25
+    # full-SE(3) relaxation instead of yaw+translation (the reference's
+    # optimize6DoF alternative loop, pose_graph.cpp:707-860)
+    graph_6dof: bool = False
 
 
 @dataclass(frozen=True)

@@ -117,23 +117,42 @@ def make_window_step(cfg: Config):
         g = jnp.array([0.0, 0.0, cfg.imu.g_norm], dtype)
 
         state, tracks = core.state, core.tracks
+        imu_pre = preintegrate_imu_window(core.imu_buf, state.sbs, n18)
+        wheel_pre = preintegrate_wheel_window(
+            core.wheel_buf, state.s_wheel, state.td_wheel, n12
+        )
+
+        # device-side anomaly/stationarity gates over the newest interval
+        # (estimator.cpp:614-654, 870-896) — OR-combined with any host
+        # overrides arriving through the flags
+        stationary = flags.stationary
+        wheel_anomaly = jnp.asarray(False)
+        if cfg.wdetect or cfg.stationary_detect:
+            from .gates import device_frame_gates
+
+            anomaly_dev, stationary_dev = device_frame_gates(
+                state, tracks, core.imu_buf, imu_pre, wheel_pre,
+                g, cfg.solver.focal,
+                cfg.init.stationary_acc_var, cfg.init.stationary_parallax,
+                cfg.init.wheel_stationary_dp, cfg.wheel.anomaly_thresh,
+            )
+            if cfg.wdetect:
+                wheel_anomaly = anomaly_dev
+            if cfg.stationary_detect:
+                stationary = stationary | stationary_dev
+
         # stationary: zero velocities, freeze all frame blocks
         sbs = state.sbs.at[:, 0:3].multiply(
-            jnp.where(flags.stationary, 0.0, 1.0).astype(dtype)
+            jnp.where(stationary, 0.0, 1.0).astype(dtype)
         )
         state = state._replace(sbs=sbs)
-        frame_free = jnp.where(flags.stationary, 0.0, 1.0).astype(dtype)
+        frame_free = jnp.where(stationary, 0.0, 1.0).astype(dtype)
         free_mask = jnp.asarray(base_mask, dtype)
         free_mask = free_mask.at[: PER_FRAME * f].multiply(frame_free)
         if cfg.gnss.enabled and flags.fix_yaw_enu is not None:
             free_mask = free_mask.at[layout.yaw_enu].multiply(
                 jnp.where(flags.fix_yaw_enu, 0.0, 1.0).astype(dtype)
             )
-
-        imu_pre = preintegrate_imu_window(core.imu_buf, state.sbs, n18)
-        wheel_pre = preintegrate_wheel_window(
-            core.wheel_buf, state.s_wheel, state.td_wheel, n12
-        )
 
         if flags.propagate_newest is not None:
             # seed slot F-1 by propagating F-2 through the newest IMU interval
@@ -150,12 +169,17 @@ def make_window_step(cfg: Config):
             )
             q_pred = quat_normalize(quat_mul(q_i, imu_pre.delta_q[j]))
             v_pred = state.sbs[i, 0:3] - g * dt + quat_rotate(q_i, imu_pre.delta_v[j])
-            do_prop = flags.propagate_newest & flags.imu_valid[j]
+            do_prop = flags.propagate_newest & flags.imu_valid[j] & ~stationary
             poses = state.poses.at[j].set(jnp.where(
                 do_prop, jnp.concatenate([p_pred, q_pred]), state.poses[j]))
             sbs = state.sbs.at[j, 0:3].set(jnp.where(do_prop, v_pred, state.sbs[j, 0:3]))
             state = state._replace(poses=poses, sbs=sbs)
         wheel_valid = flags.wheel_valid if cfg.wheel.enabled else jnp.zeros(f, bool)
+        if cfg.wheel.enabled and cfg.wdetect:
+            # skip the wheel factor on the anomalous newest interval
+            # (estimator.cpp:3132-3136)
+            wheel_valid = wheel_valid.at[f - 1].set(
+                wheel_valid[f - 1] & ~wheel_anomaly)
         plane_valid = (
             jnp.ones(f, bool) if cfg.plane.enabled else jnp.zeros(f, bool)
         )

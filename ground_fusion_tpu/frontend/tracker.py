@@ -16,7 +16,12 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from ..cameras.models import PinholeParams, pinhole_lift_projective
+from ..cameras.models import (
+    CameraModel,
+    PinholeParams,
+    pinhole_lift_projective,
+    pinhole_space_to_plane,
+)
 from ..pipeline import FrameFeature
 from .klt import (
     build_pyramid,
@@ -27,9 +32,15 @@ from .klt import (
 
 
 class FeatureTracker:
-    def __init__(self, cam: PinholeParams, max_cnt: int = 128, min_dist: int = 30,
+    def __init__(self, cam, max_cnt: int = 128, min_dist: int = 30,
                  levels: int = 3, half: int = 10, iters: int = 10,
                  fb_thresh: float = 0.5, border: int = 5):
+        """``cam``: a :class:`~..cameras.models.CameraModel` (any dispatched
+        projection model — CameraFactory.cc:32-93 parity) or a bare
+        ``PinholeParams`` for backward compatibility."""
+        if isinstance(cam, PinholeParams):
+            cam = CameraModel("pinhole", cam, pinhole_lift_projective,
+                              pinhole_space_to_plane)
         self.cam = cam
         self.max_cnt = max_cnt
         self.min_dist = min_dist
@@ -56,7 +67,8 @@ class FeatureTracker:
     def _undistort(self, pts: np.ndarray) -> np.ndarray:
         if len(pts) == 0:
             return np.zeros((0, 2), np.float32)
-        rays = pinhole_lift_projective(self.cam, jnp.asarray(pts))
+        rays = self.cam.lift_projective(jnp.asarray(pts))
+        rays = rays / jnp.maximum(jnp.abs(rays[:, 2:3]), 1e-9)
         return np.asarray(rays[:, 0:2])
 
     def track(self, t: float, img: np.ndarray, depth: Optional[np.ndarray] = None,

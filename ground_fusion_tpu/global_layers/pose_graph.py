@@ -126,6 +126,100 @@ def optimize_4dof(yaws: jax.Array, ts: jax.Array, node_valid: jax.Array,
     return yaws, ts
 
 
+class GraphEdges6(NamedTuple):
+    """Padded edge table for the 6-DoF graph (``optimize6DoF``)."""
+
+    i: jax.Array        # [E] int32
+    j: jax.Array        # [E]
+    t_ij: jax.Array     # [E,3] relative translation in frame i
+    q_ij: jax.Array     # [E,4] relative rotation (wxyz), frame i → j
+    w_t: jax.Array      # [E] translation weight (1/t_var, reference 1/0.1)
+    w_q: jax.Array      # [E] rotation weight (1/q_var, reference 1/0.01)
+    valid: jax.Array    # [E] bool
+
+
+def edge_residual_6dof(q_i, t_i, q_j, t_j, e_tij, e_qij, w_t, w_q):
+    """RelativeRTError (global_fusion Factors.h:52 — the same autodiff cost
+    ``optimize6DoF`` builds, pose_graph.cpp:785-795): translation expressed
+    in node i's full rotation frame; rotation residual is the vector part of
+    the error quaternion."""
+    from ..geometry.so3 import quat_conj, quat_mul, quat_rotate_inv
+
+    r_t = (quat_rotate_inv(q_i, t_j - t_i) - e_tij) * w_t
+    q_rel = quat_mul(quat_conj(q_i), q_j)
+    dq = quat_mul(quat_conj(e_qij), q_rel)
+    r_q = 2.0 * dq[1:4] * jnp.sign(dq[0]) * w_q
+    return jnp.concatenate([r_t, r_q])
+
+
+def linearize_edges_6dof(quats: jax.Array, ts: jax.Array, edges: GraphEdges6,
+                         n: int):
+    """Batched forward-AD linearization of every 6-DoF edge into dense rows
+    over the [6·N] tangent (δθ(3) + δt(3) per node)."""
+    from ..geometry.so3 import quat_mul, quat_normalize
+
+    dtype = ts.dtype
+
+    def boxplus(q, dth):
+        return quat_normalize(quat_mul(q, jnp.concatenate([jnp.ones(1, dtype), 0.5 * dth])))
+
+    def one(i, j, tij, qij, wt, wq, ok):
+        def r_of(d):
+            return edge_residual_6dof(
+                boxplus(quats[i], d[0:3]), ts[i] + d[3:6],
+                boxplus(quats[j], d[6:9]), ts[j] + d[9:12],
+                tij, qij, wt, wq,
+            )
+
+        z = jnp.zeros(12, dtype)
+        r = r_of(z)
+        J = jax.jacfwd(r_of)(z)
+        w = ok.astype(dtype)
+        return r * w, J * w
+
+    r, J = jax.vmap(one)(edges.i, edges.j, edges.t_ij, edges.q_ij,
+                         edges.w_t, edges.w_q, edges.valid)   # [E,6], [E,6,12]
+    cols = jnp.concatenate(
+        [(6 * edges.i)[:, None] + jnp.arange(6)[None, :],
+         (6 * edges.j)[:, None] + jnp.arange(6)[None, :]], axis=1)
+    e = r.shape[0]
+    Jd = jnp.zeros((e, 6, 6 * n), dtype)
+    Jd = Jd.at[jnp.arange(e)[:, None, None], jnp.arange(6)[None, :, None],
+               cols[:, None, :]].set(J)
+    return Jd.reshape(e * 6, 6 * n), r.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def optimize_6dof(quats: jax.Array, ts: jax.Array, node_valid: jax.Array,
+                  fixed: jax.Array, edges: GraphEdges6, iters: int = 5):
+    """Full-SE(3) graph relaxation (``PoseGraph::optimize6DoF``,
+    pose_graph.cpp:707-860): per-KF quaternion + translation, sequential
+    edges to 4 predecessors and loop edges as RelativeRTError, first looped
+    keyframe fixed. quats [N,4] wxyz, ts [N,3]."""
+    from ..geometry.so3 import quat_mul, quat_normalize
+
+    n = quats.shape[0]
+    dtype = ts.dtype
+    free = (node_valid & ~fixed).astype(dtype)
+    free6 = jnp.repeat(free, 6)
+
+    def gn(carry, _):
+        quats, ts = carry
+        Jd, r = linearize_edges_6dof(quats, ts, edges, n)
+        Jd = Jd * free6[None, :]
+        H = Jd.T @ Jd
+        g = Jd.T @ r
+        damp = 1e-6 * jnp.diagonal(H) + 1e-8 + (1.0 - free6)
+        L = jnp.linalg.cholesky(H + jnp.diag(damp))
+        dx = (jax.scipy.linalg.cho_solve((L, True), -g) * free6).reshape(n, 6)
+        quats = quat_normalize(quat_mul(
+            quats, jnp.concatenate([jnp.ones((n, 1), dtype), 0.5 * dx[:, 0:3]], -1)))
+        return (quats, ts + dx[:, 3:6]), None
+
+    (quats, ts), _ = jax.lax.scan(gn, (quats, ts), None, length=iters)
+    return quats, ts
+
+
 class Keyframe(NamedTuple):
     index: int
     t: float
@@ -231,10 +325,10 @@ class PoseGraph:
         R_old = np.asarray(quat_to_mat(jnp.asarray(T_old[3:7])))
         R_cur = np.asarray(quat_to_mat(jnp.asarray(cur.pose[3:7])))
         t_rel = R_old.T @ (cur.pose[0:3] - T_old[0:3])
-        yaw_rel = float(
-            np.asarray(mat_to_ypr(jnp.asarray(R_old.T @ R_cur)))[0]
-        )
-        self.loop_edges.append((old.index, cur.index, t_rel, yaw_rel))
+        R_rel = R_old.T @ R_cur
+        yaw_rel = float(np.asarray(mat_to_ypr(jnp.asarray(R_rel)))[0])
+        q_rel = np.asarray(mat_to_quat(jnp.asarray(R_rel)))
+        self.loop_edges.append((old.index, cur.index, t_rel, yaw_rel, q_rel))
         if self.earliest_loop is None or old.index < self.earliest_loop:
             self.earliest_loop = old.index
         return True
@@ -242,10 +336,13 @@ class PoseGraph:
     # ------------------------------------------------------------- optimize
 
     def optimize(self, iters: int = 5):
-        """optimize4DoF over all keyframes; returns updated drift
-        (pose_graph.cpp:529-705)."""
+        """optimize4DoF over all keyframes — or the full-SE(3) optimize6DoF
+        variant (pose_graph.cpp:707-860) when ``loop.graph_6dof`` is set;
+        returns updated drift (pose_graph.cpp:529-705)."""
         if not self.loop_edges or len(self.kfs) < 2:
             return
+        if getattr(self.cfg.loop, "graph_6dof", False):
+            return self._optimize_6dof(iters)
         n = len(self.kfs)
         poses = np.stack([k.pose for k in self.kfs])
         Rs = np.asarray(quat_to_mat(jnp.asarray(poses[:, 3:7])))
@@ -262,7 +359,7 @@ class PoseGraph:
                 t_ij = Rs[i].T @ (ts[j] - ts[i])
                 seq_edges.append((i, j, t_ij, yaws[j] - yaws[i],
                                   ypr[i, 1], ypr[i, 2], 1.0, 1.0))
-        for (i, j, t_rel, yaw_rel) in self.loop_edges:
+        for (i, j, t_rel, yaw_rel, *_rest) in self.loop_edges:
             seq_edges.append((i, j, t_rel, yaw_rel, ypr[i, 1], ypr[i, 2],
                               1.0, 0.1))                  # yaw/10 loop weight
 
@@ -301,6 +398,58 @@ class PoseGraph:
         Rz = np.asarray(ypr_to_mat(jnp.asarray([dy, 0.0, 0.0])))
         self.r_drift = Rz @ self.r_drift
         self.t_drift = new_ts[n - 1] - Rz @ ts[n - 1]
+
+    def _optimize_6dof(self, iters: int = 5):
+        """optimize6DoF (pose_graph.cpp:707-860): every keyframe carries a
+        full quaternion + translation; sequential edges to 4 predecessors and
+        loop edges become RelativeRTError rows with the reference's 0.1/0.01
+        variances; drift is the full rotation correction of the newest pose
+        (pose_graph.cpp:849-853)."""
+        n = len(self.kfs)
+        poses = np.stack([k.pose for k in self.kfs])
+        quats = poses[:, 3:7].copy()
+        ts = poses[:, 0:3].copy()
+        Rs = np.asarray(quat_to_mat(jnp.asarray(quats)))
+
+        W_T, W_Q = 1.0 / 0.1, 1.0 / 0.01    # RelativeRTError::Create(.., 0.1, 0.01)
+        edges = []
+        for j in range(1, n):
+            for back in range(1, 5):
+                i = j - back
+                if i < 0:
+                    break
+                t_ij = Rs[i].T @ (ts[j] - ts[i])
+                q_ij = np.asarray(mat_to_quat(jnp.asarray(Rs[i].T @ Rs[j])))
+                edges.append((i, j, t_ij, q_ij, W_T, W_Q))
+        for (i, j, t_rel, _yaw, *rest) in self.loop_edges:
+            q_rel = rest[0] if rest else np.array([1.0, 0, 0, 0])
+            edges.append((i, j, t_rel, q_rel, W_T, W_Q))
+
+        e = len(edges)
+        E6 = GraphEdges6(
+            i=jnp.asarray([s[0] for s in edges], jnp.int32),
+            j=jnp.asarray([s[1] for s in edges], jnp.int32),
+            t_ij=jnp.asarray(np.stack([s[2] for s in edges])),
+            q_ij=jnp.asarray(np.stack([s[3] for s in edges])),
+            w_t=jnp.asarray([s[4] for s in edges]),
+            w_q=jnp.asarray([s[5] for s in edges]),
+            valid=jnp.ones(e, bool),
+        )
+        fixed = np.zeros(n, bool)
+        fixed[self.earliest_loop if self.earliest_loop is not None else 0] = True
+        new_q, new_t = optimize_6dof(
+            jnp.asarray(quats), jnp.asarray(ts), jnp.ones(n, bool),
+            jnp.asarray(fixed), E6, iters,
+        )
+        new_q, new_t = np.asarray(new_q), np.asarray(new_t)
+        for k in range(n):
+            p = self.kfs[k].pose.copy()
+            p[0:3] = new_t[k]
+            p[3:7] = new_q[k]
+            self.kfs[k] = self.kfs[k]._replace(pose=p)
+        R_new = np.asarray(quat_to_mat(jnp.asarray(new_q[n - 1])))
+        self.r_drift = R_new @ Rs[n - 1].T @ self.r_drift
+        self.t_drift = new_t[n - 1] - (R_new @ Rs[n - 1].T) @ ts[n - 1]
 
     def write_tum(self, path: str) -> None:
         with open(path, "w") as fp:

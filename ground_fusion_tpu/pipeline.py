@@ -359,18 +359,44 @@ class Estimator:
 
     def _keyframe_decision(self, feats: dict[int, FrameFeature]) -> bool:
         """Parallax / track-count keyframe gate
-        (``FeatureManager::addFeatureCheckParallax``, feature_manager.cpp:57-116):
-        keyframe if tracked-feature continuity is weak or mean parallax
-        between the two most recent frames exceeds MIN_PARALLAX."""
+        (``FeatureManager::addFeatureCheckParallax``, feature_manager.cpp:57-116).
+
+        Keyframe when track continuity is weak — fewer than 20 tracked
+        features, fewer than 40 long (≥4-observation) tracks, or more than
+        half the frame is new — or when the mean parallax between the
+        SECOND- and THIRD-last frames (the incoming frame is frame_count;
+        parallax is measured at frame_count−1 vs frame_count−2,
+        ``compensatedParallax2``, feature_manager.cpp:978-1012) reaches
+        MIN_PARALLAX. Note this fork ships compensatedParallax2 with the
+        rotation compensation commented out (``p_i_comp = p_i``,
+        feature_manager.cpp:998) — plain parallax is the faithful parity."""
         tracked = [fid for fid in feats if fid in self._prev_feats]
-        if len(tracked) < 20:
+        last_track_num = len(tracked)
+        new_feature_num = len(feats) - last_track_num
+        if last_track_num < 20 or new_feature_num > 0.5 * last_track_num:
             return True
-        dpar = [
-            np.hypot(feats[f].x - self._prev_feats[f].x, feats[f].y - self._prev_feats[f].y)
-            for f in tracked
-        ]
+
+        tr = self.core.tracks
+        ov = np.asarray(tr.obs_valid)
+        obs_counts = ov.sum(axis=1)
+        # long tracks: the incoming observation brings them to ≥4
+        long_track_num = sum(
+            1 for fid in tracked
+            if (s := self.slot_of.get(fid)) is not None and obs_counts[s] >= 3
+        )
+        if long_track_num < 40:
+            return True
+
+        # mean parallax between the second- and third-last window frames
+        i, j = self.f - 3, self.f - 2
+        both = ov[:, i] & ov[:, j] & np.asarray(tr.active)
+        if not both.any():
+            return True
+        obs = np.asarray(tr.obs)
+        d = obs[both, i, 0:2] - obs[both, j, 0:2]
+        par = float(np.hypot(d[:, 0], d[:, 1]).mean())
         min_parallax = self.cfg.solver.keyframe_parallax_px / self.cfg.solver.focal
-        return float(np.mean(dpar)) >= min_parallax
+        return par >= min_parallax
 
     # ------------------------------------------------------------- frame push
 
@@ -383,14 +409,6 @@ class Estimator:
         newest optimized pose [7] once the estimator is running."""
         self._pending_line_obs = line_obs if self.cfg.use_line else None
         is_keyframe = self._keyframe_decision(feats)
-        # parallax snapshot BEFORE the previous-frame map is replaced —
-        # the stationarity detector needs last->current motion
-        tracked = [fid for fid in feats if fid in self._prev_feats]
-        self._last_parallax = np.array([
-            np.hypot(feats[f2].x - self._prev_feats[f2].x,
-                     feats[f2].y - self._prev_feats[f2].y)
-            for f2 in tracked
-        ])
         self._prev_feats = feats
 
         if self.solver_flag == self.INITIAL:
@@ -663,63 +681,9 @@ class Estimator:
         self._write_interval(f - 1, iv, wv)
         self._assign_slots(feats, f - 1)
         self._assign_line_slots(f - 1)
-        self._update_gates(iv, wv, feats)
         out = self._run_step(marg_old=is_keyframe, propagate_newest=True)
         self._check_failure()
         return out
-
-    def _update_gates(self, iv, wv, feats):
-        """Per-frame anomaly/stationarity detection over the newest interval
-        (estimator.cpp:629-654, 870-896): dead-reckoned ΔP from wheel vs IMU,
-        accel variance, visual parallax; 2-of-3 stationary vote."""
-        from .estimator.gates import (
-            imu_stationary, visual_stationary, wheel_anomaly, wheel_stationary,
-        )
-
-        from .utils.np_quat import quat_mul, quat_normalize, quat_to_mat
-
-        cfg = self.cfg
-        d_i, a_i, g_i, v_i, a0, g0 = iv
-        d_w, vel_w, g_w, v_w, v0, gw0 = wv
-        sb = np.asarray(self.core.state.sbs[self.f - 1])
-        ba, bg = sb[3:6], sb[6:9]
-
-        # wheel dead-reckoned ΔP (interval-start body frame, gyro-rotated)
-        q = np.array([1.0, 0, 0, 0])
-        dp_wheel = np.zeros(3)
-        for k in np.nonzero(v_w)[0]:
-            dp_wheel += quat_to_mat(q) @ (vel_w[k] * d_w[k])
-            dq = np.concatenate([[1.0], 0.5 * (g_w[k] - bg) * d_w[k]])
-            q = quat_normalize(quat_mul(q, dq))
-
-        # IMU dead-reckoned ΔP (same frame, rotating attitude — the
-        # fastPredict-style comparison of estimator.cpp:614-636)
-        Rw = quat_to_mat(np.asarray(self.core.state.poses[self.f - 1, 3:7]))
-        g_body0 = Rw.T @ np.array([0.0, 0.0, cfg.imu.g_norm])
-        v_body = Rw.T @ sb[0:3]
-        q = np.array([1.0, 0, 0, 0])
-        dp_imu = np.zeros(3)
-        vv = v_body.copy()
-        for k in np.nonzero(v_i)[0]:
-            acc_lin = quat_to_mat(q) @ (a_i[k] - ba) - g_body0
-            dp_imu += vv * d_i[k] + 0.5 * acc_lin * d_i[k] ** 2
-            vv = vv + acc_lin * d_i[k]
-            dq = np.concatenate([[1.0], 0.5 * (g_i[k] - bg) * d_i[k]])
-            q = quat_normalize(quat_mul(q, dq))
-
-        self._wheel_anomaly = bool(
-            cfg.wdetect
-            and wheel_anomaly(dp_wheel, dp_imu, cfg.wheel.anomaly_thresh)
-        )
-        # parallax snapshot taken in input_frame BEFORE _prev_feats updated
-        par = getattr(self, "_last_parallax", np.zeros(0))
-        votes = (
-            int(imu_stationary(a_i[v_i], cfg.init.stationary_acc_var))
-            + int(visual_stationary(par, cfg.solver.focal,
-                                    cfg.init.stationary_parallax))
-            + int(wheel_stationary(dp_wheel, cfg.init.wheel_stationary_dp))
-        )
-        self._stationary = bool(cfg.stationary_detect and votes >= 2)
 
     def _check_failure(self):
         """failureDetection → clearState reboot (estimator.cpp:1140-1148,
@@ -870,13 +834,13 @@ class Estimator:
             self._try_gnss_align()
         speed = float(np.linalg.norm(np.asarray(self.core.state.sbs[f - 1, 0:3])))
         frame_dts = np.diff(np.asarray(self.ts, np.float64), prepend=self.ts[0])
+        # anomaly/stationarity gates are computed inside the jitted step from
+        # the window buffers (estimator/gates.device_frame_gates); the flags
+        # below are host OVERRIDES only
         wheel_valid = np.arange(f) >= 1
-        if getattr(self, "_wheel_anomaly", False):
-            wheel_valid = wheel_valid.copy()
-            wheel_valid[f - 1] = False      # skip the anomalous interval
         flags = StepFlags(
             marg_old=jnp.asarray(bool(marg_old)),
-            stationary=jnp.asarray(bool(getattr(self, "_stationary", False))),
+            stationary=jnp.asarray(False),
             wheel_valid=jnp.asarray(wheel_valid),
             imu_valid=jnp.asarray(np.arange(f) >= 1),
             td_obs=jnp.zeros(f, self.dtype),
@@ -884,8 +848,7 @@ class Estimator:
             frame_dts=jnp.asarray(frame_dts[:f], self.dtype),
             fix_yaw_enu=jnp.asarray(speed < self.cfg.gnss.low_speed_yaw_fix),
             first_gnss_opt=jnp.asarray(self._first_gnss_opt),
-            propagate_newest=jnp.asarray(
-                propagate_newest and not getattr(self, "_stationary", False)),
+            propagate_newest=jnp.asarray(bool(propagate_newest)),
         )
         self._first_gnss_opt = False
         core_new, out = self.step_fn(self.core, flags)

@@ -20,7 +20,7 @@ from typing import Optional
 
 import numpy as np
 
-from .cameras.models import PinholeParams
+from .cameras.models import make_camera
 from .config import Config
 from .pipeline import Estimator
 from .utils.outputs import CalibrationDump, DeadReckoningPaths
@@ -34,8 +34,9 @@ class GroundFusionSystem:
         os.makedirs(out_dir, exist_ok=True)
         self.estimator = Estimator(cfg)
 
-        cam = PinholeParams.make(cfg.camera.fx, cfg.camera.fy, cfg.camera.cx,
-                                 cfg.camera.cy, *cfg.camera.distortion[:4])
+        # model dispatch by cfg.camera.model (CameraFactory.cc:32-93)
+        cam = make_camera(cfg.camera.model, cfg.camera.fx, cfg.camera.fy,
+                          cfg.camera.cx, cfg.camera.cy, cfg.camera.distortion)
         from .frontend.tracker import FeatureTracker
 
         self.tracker = FeatureTracker(
@@ -60,11 +61,25 @@ class GroundFusionSystem:
         if cfg.use_yolo:
             from .detector.model import init_params, load_npz
 
-            wpath = os.path.join(out_dir, "detector.npz")
-            import jax
+            # per-run override, then the shipped trained artifact (the
+            # reference loads pretrained darknet weights the same way,
+            # YoloObjectDetector.cpp + yolo_network_config/)
+            run_w = os.path.join(out_dir, "detector.npz")
+            shipped = os.path.join(os.path.dirname(__file__), "detector",
+                                   "weights.npz")
+            if os.path.exists(run_w):
+                self.detector_params = load_npz(run_w)
+            elif os.path.exists(shipped):
+                self.detector_params = load_npz(shipped)
+            else:
+                import warnings
 
-            self.detector_params = (load_npz(wpath) if os.path.exists(wpath)
-                                    else init_params(jax.random.PRNGKey(0)))
+                import jax
+
+                warnings.warn("use_yolo set but no detector weights found; "
+                              "random init will cull features with noise — "
+                              "run scripts/train_detector.py")
+                self.detector_params = init_params(jax.random.PRNGKey(0))
 
         self.pose_graph = None
         if cfg.loop.enabled:
@@ -177,12 +192,14 @@ class GroundFusionSystem:
             return
         pts3d = np.stack(pts3d)
         norm2d = np.stack(norm2d)
-        fx, fy = float(self.cam.fx), float(self.cam.fy)
-        cx, cy = float(self.cam.cx), float(self.cam.cy)
-        win_px = norm2d * np.array([fx, fy]) + np.array([cx, cy])
+        # normalized-plane ↔ pixel through the dispatched camera model
+        # (keyframe.cpp uses the camodocal camera for both directions)
+        rays = np.concatenate([norm2d, np.ones((len(norm2d), 1))], -1)
+        win_px = np.asarray(self.cam.space_to_plane(jnp.asarray(rays, jnp.float32)))
 
         pts, okf, desc, win_desc = self.pose_graph.describe(img, win_px)
-        kp_norm = (pts - np.array([cx, cy])) / np.array([fx, fy])
+        kp_rays = np.asarray(self.cam.lift_projective(jnp.asarray(pts, jnp.float32)))
+        kp_norm = kp_rays[:, 0:2] / np.maximum(np.abs(kp_rays[:, 2:3]), 1e-9)
         kf = Keyframe(
             index=self._kf_index, t=t, pose=np.asarray(pose),
             kp=np.concatenate([pts, win_px]),
@@ -202,7 +219,6 @@ class GroundFusionSystem:
     def _map_keyframe(self, pose, img, depth):
         import jax.numpy as jnp
 
-        from .cameras.models import pinhole_lift_projective
         from .geometry.se3 import pose_apply
         from .global_layers.dense_map import sample_rgbd
 
@@ -212,7 +228,8 @@ class GroundFusionSystem:
             stride=self.cfg.map.depth_stride, boundary=self.cfg.map.depth_boundary,
         )
         uv = jnp.stack([gx, gy], -1).astype(jnp.float32)
-        rays = pinhole_lift_projective(self.cam, uv)
+        rays = self.cam.lift_projective(uv)
+        rays = rays / jnp.maximum(jnp.abs(rays[:, 2:3]), 1e-9)  # z=1 for depth scaling
         pts_cam = rays * d[:, None]
         from .geometry.se3 import pose_compose
 
@@ -222,10 +239,13 @@ class GroundFusionSystem:
         with self.stats.time("map"):
             self.voxel_map.insert(pts_w, rgb, ok)
             if self.tsdf is not None:
+                # the TSDF raster assumes a pinhole-style intrinsic grid (as
+                # does the reference's RGBD mapping node)
+                p = self.cam.params
                 self.tsdf.integrate(
                     np.asarray(depth, np.float32), np.asarray(color, np.float32),
-                    np.asarray(cam_pose), self.cam.fx, self.cam.fy,
-                    self.cam.cx, self.cam.cy,
+                    np.asarray(cam_pose), float(p.fx), float(p.fy),
+                    float(p.cx), float(p.cy),
                 )
 
     # --------------------------------------------------------------- output

@@ -52,3 +52,54 @@ def test_cull_features_in_boxes():
     keep = np.asarray(cull_features_in_boxes(pts, boxes, classes, valid))
     assert not keep[0]       # inside dynamic box -> culled
     assert keep[1] and keep[2]
+
+
+def test_trained_weights_detect_and_cull():
+    """The shipped weights artifact (scripts/train_detector.py — the
+    counterpart of the reference's pretrained darknet weights) must localize
+    rendered dynamic objects and drive the feature-culling path: a feature on
+    the object is culled, a static-background feature survives
+    (trackImagebox, feature_tracker.cpp:564-606)."""
+    import os
+
+    import numpy as np
+
+    from ground_fusion_tpu.detector.model import (
+        cull_features_in_boxes, detect, load_npz,
+    )
+    from ground_fusion_tpu.detector.train import render_scene
+
+    wpath = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "ground_fusion_tpu", "detector", "weights.npz")
+    assert os.path.exists(wpath), "shipped detector weights missing"
+    params = load_npz(wpath)
+
+    rng = np.random.default_rng(99)
+    hits = total = 0
+    for _ in range(10):
+        img, boxes, n = render_scene(rng)
+        b, s, c, valid = detect(params, jnp.asarray(img), conf_thresh=0.3)
+        b, valid = np.asarray(b), np.asarray(valid)
+        for k in range(n):
+            total += 1
+            gt = boxes[k]
+            for d in np.nonzero(valid)[0]:
+                bb = b[d]
+                x1, y1 = max(gt[0], bb[0]), max(gt[1], bb[1])
+                x2, y2 = min(gt[2], bb[2]), min(gt[3], bb[3])
+                inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+                u = ((gt[2] - gt[0]) * (gt[3] - gt[1])
+                     + max((bb[2] - bb[0]) * (bb[3] - bb[1]), 0) - inter)
+                if inter / max(u, 1e-6) > 0.3:
+                    hits += 1
+                    break
+    assert hits >= 0.7 * total, f"detector recall {hits}/{total}"
+
+    img, boxes, n = render_scene(np.random.default_rng(7))
+    b, s, c, valid = detect(params, jnp.asarray(img), conf_thresh=0.3)
+    gt = boxes[0]
+    pts = jnp.asarray([[(gt[0] + gt[2]) / 2, (gt[1] + gt[3]) / 2],   # on object
+                       [2.0, 2.0]])                                  # background
+    keep = np.asarray(cull_features_in_boxes(pts, b, c, valid))
+    assert not keep[0], "feature on the dynamic object must be culled"
+    assert keep[1], "static feature must survive"

@@ -211,3 +211,57 @@ def test_global_fusion_gps_priors():
     err_after = np.linalg.norm(final - np.array([n - 1.0, 0.0, 0.0]))
     assert err_after < 0.35, f"global error {err_after:.3f} (vio drift was {err_before:.3f})"
     assert err_after < 0.3 * err_before
+
+
+def test_optimize_6dof_recovers_chain():
+    """optimize6DoF (pose_graph.cpp:707-860): full-SE(3) relaxation recovers
+    a ground-truth chain — including roll/pitch error, which the 4-DoF
+    relaxation cannot correct."""
+    import numpy as np
+
+    from ground_fusion_tpu.geometry.so3 import mat_to_quat, quat_to_mat, ypr_to_mat
+    from ground_fusion_tpu.global_layers.pose_graph import (
+        GraphEdges6, optimize_6dof,
+    )
+
+    rng = np.random.default_rng(2)
+    n = 16
+    gt_ypr = np.cumsum(rng.normal(0, 0.08, (n, 3)), axis=0)
+    gt_R = np.stack([np.asarray(quat_to_mat(mat_to_quat(
+        jnp.asarray(ypr_to_mat(jnp.asarray(y)))))) for y in gt_ypr])
+    gt_t = np.cumsum(rng.normal(0, 0.4, (n, 3)), axis=0)
+    gt_q = np.stack([np.asarray(mat_to_quat(jnp.asarray(R))) for R in gt_R])
+
+    # noisy init (rotation AND translation), first node exact + fixed
+    def boxplus(q, dth):
+        from ground_fusion_tpu.geometry.so3 import quat_mul, quat_normalize
+        return np.asarray(quat_normalize(quat_mul(
+            jnp.asarray(q), jnp.asarray(np.concatenate([[1.0], 0.5 * dth])))))
+
+    q0 = np.stack([boxplus(gt_q[k], rng.normal(0, 0.03, 3)) for k in range(n)])
+    t0 = gt_t + rng.normal(0, 0.1, (n, 3))
+    q0[0], t0[0] = gt_q[0], gt_t[0]
+
+    ei, ej, tij, qij = [], [], [], []
+    for j in range(1, n):
+        for back in (1, 2):
+            i = j - back
+            if i < 0:
+                continue
+            ei.append(i)
+            ej.append(j)
+            tij.append(gt_R[i].T @ (gt_t[j] - gt_t[i]))
+            qij.append(np.asarray(mat_to_quat(jnp.asarray(gt_R[i].T @ gt_R[j]))))
+    e = len(ei)
+    E6 = GraphEdges6(
+        i=jnp.asarray(ei, jnp.int32), j=jnp.asarray(ej, jnp.int32),
+        t_ij=jnp.asarray(np.stack(tij)), q_ij=jnp.asarray(np.stack(qij)),
+        w_t=jnp.full(e, 10.0), w_q=jnp.full(e, 100.0),
+        valid=jnp.ones(e, bool),
+    )
+    fixed = jnp.zeros(n, bool).at[0].set(True)
+    q1, t1 = optimize_6dof(jnp.asarray(q0), jnp.asarray(t0),
+                           jnp.ones(n, bool), fixed, E6, iters=8)
+    np.testing.assert_allclose(np.asarray(t1), gt_t, atol=1e-5)
+    dots = np.abs(np.sum(np.asarray(q1) * gt_q, axis=1))
+    assert np.all(dots > 1.0 - 1e-8), f"rotation error: {1 - dots.min():.2e}"

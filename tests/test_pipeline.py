@@ -282,3 +282,56 @@ def test_e2e_vio_wheel_gnss():
     p_ecef_true = anc_true + R @ p_local_true
     ecef_err = np.linalg.norm(p_ecef_est - p_ecef_true)
     assert ecef_err < 1.0, f"ECEF position error {ecef_err:.2f} m"
+
+
+def test_keyframe_decision_parity():
+    """addFeatureCheckParallax gates (feature_manager.cpp:57-116): continuity
+    gates force a keyframe; otherwise the decision is mean parallax between
+    the second- and third-last frames, not the newest pair."""
+    import jax.numpy as jnp2
+
+    cfg = Config()
+    est = Estimator(cfg, dtype=DT)
+    f, ml = est.f, cfg.solver.max_landmarks
+    n = 60
+
+    def install(par_23=0.0, par_12=0.0, nobs=6):
+        """n tracked features; parallax par_23 between slots F-3/F-2 and
+        par_12 between F-2/F-1 (the latter must NOT drive the decision)."""
+        tr = est.core.tracks
+        ov = np.zeros((ml, f), bool)
+        obs = np.zeros((ml, f, 5))
+        for s in range(n):
+            ov[s, f - nobs:] = True
+            obs[s, :, 0] = 0.1
+            obs[s, f - 2, 0] = 0.1 + par_23
+            obs[s, f - 1, 0] = 0.1 + par_23 + par_12
+        est.core = est.core._replace(tracks=tr._replace(
+            obs=jnp2.asarray(obs, DT), obs_valid=jnp2.asarray(ov),
+            active=jnp2.asarray(np.arange(ml) < n),
+        ))
+        est.slot_of = {fid: fid for fid in range(n)}
+        feats = {fid: FrameFeature(x=0.1, y=0.0) for fid in range(n)}
+        est._prev_feats = dict(feats)
+        return feats
+
+    thr = cfg.solver.keyframe_parallax_px / cfg.solver.focal
+
+    # (a) weak continuity: < 20 tracked → keyframe
+    feats = install()
+    assert est._keyframe_decision({fid: feats[fid] for fid in range(10)})
+    # (b) > 50% new features → keyframe
+    many_new = dict(feats)
+    many_new.update({1000 + k: FrameFeature(x=0.0, y=0.0) for k in range(40)})
+    assert est._keyframe_decision(many_new)
+    # (c) long-track starvation (obs counts < 4) → keyframe
+    feats = install(nobs=2)
+    assert est._keyframe_decision(feats)
+    # (d) healthy tracking + sub-threshold parallax at (F-3, F-2) → NOT a
+    # keyframe, even with huge newest-pair parallax (the old-slot pair is
+    # what the reference measures)
+    feats = install(par_23=0.2 * thr, par_12=50.0 * thr)
+    assert not est._keyframe_decision(feats)
+    # (e) super-threshold parallax at (F-3, F-2) → keyframe
+    feats = install(par_23=2.0 * thr)
+    assert est._keyframe_decision(feats)
