@@ -27,8 +27,18 @@ def main(argv=None):
     seq = Sequence.load(seq_dir)
     sys_ = GroundFusionSystem(cfg, out_dir)
 
-    imu_i = wheel_i = gnss_i = 0
-    for k, (t, img_path, dep_path) in enumerate(seq.frames):
+    imu_i = wheel_i = gnss_i = gps_i = 0
+    for k, frame in enumerate(seq.frames):
+        t, img_path, dep_path = frame[0], frame[1], frame[2]
+        right_path = frame[3] if len(frame) > 3 else None
+        if seq.gps is not None:
+            # NavSatFix fixes feed the loose global-fusion layer
+            # (globalOptNode.cpp GPS subscription)
+            while gps_i < len(seq.gps) and seq.gps[gps_i, 0] <= t:
+                r = seq.gps[gps_i]
+                sys_.input_gps_fix(r[0], r[1], r[2], r[3],
+                                   r[4] if len(r) > 4 else 1.0)
+                gps_i += 1
         while imu_i < len(seq.imu) and seq.imu[imu_i, 0] <= t:
             row = seq.imu[imu_i]
             sys_.input_imu(row[0], row[1:4], row[4:7])
@@ -57,7 +67,8 @@ def main(argv=None):
                 sys_.input_gnss(t_ep, epoch)
         img = load_image(img_path)
         depth = load_image(dep_path) if dep_path else None
-        pose = sys_.input_image(t, img, depth)
+        right = load_image(right_path) if right_path else None
+        pose = sys_.input_image(t, img, depth, img_right=right)
         if pose is not None and k % 10 == 0:
             print(f"frame {k}/{len(seq.frames)}  t={t:.2f}  "
                   f"p=[{pose[0]:.2f},{pose[1]:.2f},{pose[2]:.2f}]")

@@ -33,6 +33,10 @@ class CameraConfig:
     # camera-IMU extrinsics: body_T_cam (translation xyz + quaternion wxyz)
     t_ic: tuple[float, float, float] = (0.0, 0.0, 0.0)
     q_ic: tuple[float, float, float, float] = (1.0, 0.0, 0.0, 0.0)
+    # rectified stereo baseline (m); > 0 enables the right-image LK-disparity
+    # depth path (STEREO ingest — the second image topic of
+    # rosNodeTest.cpp:678-711)
+    baseline: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -108,11 +112,13 @@ class SolverConfig:
     max_landmarks: int = 128          # active landmark slots in the BA
     max_iters: int = 8                # NUM_ITERATIONS
     # trust-region strategy: "dogleg" = ceres DOGLEG (estimator.cpp:3306),
-    # "lm" = Levenberg–Marquardt damping
-    method: str = "lm"
+    # "lm" = Levenberg–Marquardt damping. Default matches the reference's
+    # DOGLEG + DENSE_SCHUR (estimator.cpp:3303-3318); on-TPU medians also
+    # favor it: dogleg+schur 6683 window-steps/s vs lm+dense 3833 (r3 bench)
+    method: str = "dogleg"
     # "schur" eliminates depth/line blocks before the dense Cholesky
     # (ceres DENSE_SCHUR); "dense" factorizes the full system
-    linear_solver: str = "dense"
+    linear_solver: str = "schur"
     lm_lambda0: float = 1e-4
     lm_lambda_factor: float = 3.0
     focal: float = 460.0              # FOCAL_LENGTH used for sqrt_info = F/1.5

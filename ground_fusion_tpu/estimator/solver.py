@@ -196,8 +196,14 @@ def solve_window(
         H, g = normal_equations(J, r)
         if method == "dogleg":
             # Powell dogleg (ceres DOGLEG, estimator.cpp:3306): `reg` is the
-            # trust radius, gain-ratio controlled
-            h_gn = lin_solve(H, g, jnp.zeros((), H.dtype))
+            # trust radius, gain-ratio controlled. The GN step carries a tiny
+            # RELATIVE Tikhonov floor: until the first marginalization prior
+            # exists the window Hessian has a 4-dim gauge nullspace
+            # (yaw+position are re-anchored only after the solve), and an
+            # exactly undamped solve lets rounding-scale gradient components
+            # explode along it (observed: 0.40 m E2E ATE vs 0.0004 m with
+            # the floor); Ceres likewise regularizes its dogleg GN solve
+            h_gn = lin_solve(H, g, jnp.asarray(1e-6, H.dtype))
             delta = _dogleg_step(H, g, inp.free_mask, h_gn, reg)
         else:
             delta = lin_solve(H, g, reg)

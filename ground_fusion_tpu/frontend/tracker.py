@@ -42,6 +42,9 @@ class FeatureTracker:
             cam = CameraModel("pinhole", cam, pinhole_lift_projective,
                               pinhole_space_to_plane)
         self.cam = cam
+        # stereo baseline (m) for the rectified right-image depth path; 0
+        # disables stereo (config camera.baseline)
+        self.baseline = 0.0
         self.max_cnt = max_cnt
         self.min_dist = min_dist
         self.levels = levels
@@ -64,6 +67,29 @@ class FeatureTracker:
         ``feature_tracker.cpp:118-133``)."""
         self.predict_pts = dict(pts_px)
 
+    def _stereo_depths(self, cur_pyr, img_right: np.ndarray) -> np.ndarray:
+        """LK left→right disparity → metric depth per tracked feature
+        (rectified pair; forward-backward gated; positive-disparity gate)."""
+        n = len(self.prev_pts)
+        pad = self.max_cnt - n
+        pp = np.pad(self.prev_pts, ((0, pad), (0, 0)))
+        valid = np.zeros(self.max_cnt, bool)
+        valid[:n] = True
+        pyr_r = tuple(build_pyramid(jnp.asarray(img_right, jnp.float32), self.levels))
+        fwd, ok = track_bidirectional(
+            cur_pyr, pyr_r, jnp.asarray(pp), jnp.asarray(pp),
+            jnp.asarray(valid), self.levels, self.half, self.iters,
+            self.fb_thresh,
+        )
+        fwd, ok = np.asarray(fwd)[:n], np.asarray(ok)[:n]
+        disp = self.prev_pts[:, 0] - fwd[:, 0]
+        # same-row gate for a rectified pair + positive disparity
+        ok = ok & (np.abs(fwd[:, 1] - self.prev_pts[:, 1]) < 2.0) & (disp > 0.5)
+        fx = float(np.asarray(self.cam.params.fx))
+        with np.errstate(divide="ignore"):
+            z = fx * self.baseline / np.maximum(disp, 1e-6)
+        return np.where(ok, z, 0.0).astype(np.float32)
+
     def _undistort(self, pts: np.ndarray) -> np.ndarray:
         if len(pts) == 0:
             return np.zeros((0, 2), np.float32)
@@ -72,12 +98,22 @@ class FeatureTracker:
         return np.asarray(rays[:, 0:2])
 
     def track(self, t: float, img: np.ndarray, depth: Optional[np.ndarray] = None,
-              boxes: Optional[np.ndarray] = None) -> dict[int, FrameFeature]:
+              boxes: Optional[np.ndarray] = None,
+              img_right: Optional[np.ndarray] = None) -> dict[int, FrameFeature]:
         """Track into the new frame, refill, and emit the feature map.
 
         ``boxes`` ([N,4] xyxy px) are dynamic-object detections; features
         inside any box are culled (``trackImagebox``,
         ``feature_tracker.cpp:564-606``).
+
+        ``img_right``: rectified second-camera image (STEREO ingest). Each
+        feature is LK-matched left→right with the forward-backward check and
+        its disparity becomes a metric depth (fx·baseline/d) through the SAME
+        depth channel RGBD uses — the TPU-native stereo path. (The reference
+        fork's shipped BA likewise consumes one observation stream + depth:
+        only proj21 enters the solve, estimator.cpp:3283-3292; the
+        two-camera factor forms proj22/proj12 are implemented and FD-tested
+        in estimator/factors.py for the full-stereo variant.)
         """
         img_j = jnp.asarray(img, jnp.float32)
         cur_pyr = tuple(build_pyramid(img_j, self.levels))
@@ -164,6 +200,8 @@ class FeatureTracker:
             depths = np.asarray(
                 sample_depth(jnp.asarray(depth, jnp.float32), jnp.asarray(self.prev_pts))
             )
+        elif img_right is not None and self.baseline > 0 and len(self.prev_pts) > 0:
+            depths = self._stereo_depths(cur_pyr, img_right)
 
         feats = {
             int(fid): FrameFeature(

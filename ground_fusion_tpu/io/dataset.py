@@ -9,7 +9,7 @@ directory layout any bag can be converted to offline (see
     seq/
       imu.csv     t, ax, ay, az, gx, gy, gz
       wheel.csv   t, vx, vy, vz, wx, wy, wz
-      frames.csv  t, image_path[, depth_path]
+      frames.csv  t, image_path[, depth_path[, right_image_path]]
       gnss.csv    (optional) t, sat, sys, psr, dopp_wl, psr_std, dopp_std,
                   sat_x, sat_y, sat_z, vel_x, vel_y, vel_z, svdt, svddt, tgd
       gt.csv      (optional) TUM format ground truth
@@ -98,9 +98,10 @@ class Sequence:
     root: str
     imu: np.ndarray                 # [N,7]
     wheel: Optional[np.ndarray]     # [M,7]
-    frames: list[tuple[float, str, Optional[str]]]
+    frames: list[tuple[float, str, Optional[str]]]   # (t, img, depth[, right])
     gnss: Optional[np.ndarray]
     gt: Optional[np.ndarray]        # TUM [K,8]
+    gps: Optional[np.ndarray] = None  # [K,5] t, lat, lon, alt, acc (NavSatFix)
 
     @staticmethod
     def load(root: str) -> "Sequence":
@@ -119,10 +120,14 @@ class Sequence:
                 t = float(parts[0])
                 img = os.path.join(root, parts[1])
                 dep = os.path.join(root, parts[2]) if len(parts) > 2 and parts[2] else None
-                frames.append((t, img, dep))
+                if len(parts) > 3 and parts[3]:
+                    frames.append((t, img, dep, os.path.join(root, parts[3])))
+                else:
+                    frames.append((t, img, dep))
         gt_p = os.path.join(root, "gt.csv")
         gt = np.loadtxt(gt_p) if os.path.exists(gt_p) else None
-        return Sequence(root, imu, maybe("wheel.csv"), frames, maybe("gnss.csv"), gt)
+        return Sequence(root, imu, maybe("wheel.csv"), frames, maybe("gnss.csv"),
+                        gt, gps=maybe("gps.csv"))
 
 
 def replay(seq: Sequence, estimator, tracker=None, max_frames: Optional[int] = None):
@@ -134,7 +139,7 @@ def replay(seq: Sequence, estimator, tracker=None, max_frames: Optional[int] = N
     wheel_i = 0
     n = len(seq.frames) if max_frames is None else min(max_frames, len(seq.frames))
     for k in range(n):
-        t, img_path, dep_path = seq.frames[k]
+        t, img_path, dep_path = seq.frames[k][0:3]
         while imu_i < len(seq.imu) and seq.imu[imu_i, 0] <= t:
             row = seq.imu[imu_i]
             estimator.input_imu(row[0], row[1:4], row[4:7])

@@ -45,6 +45,7 @@ class GroundFusionSystem:
             levels=cfg.tracker.pyramid_levels, half=cfg.tracker.patch_half,
             iters=cfg.tracker.lk_iters,
         )
+        self.tracker.baseline = cfg.camera.baseline
         self.cam = cam
 
         self.line_tracker = None
@@ -127,11 +128,15 @@ class GroundFusionSystem:
             self.global_fusion = GlobalFusion()
         self.global_fusion.input_gps(t, lat, lon, alt, acc)
 
-    def input_image(self, t, img: np.ndarray, depth: Optional[np.ndarray] = None
+    def input_image(self, t, img: np.ndarray, depth: Optional[np.ndarray] = None,
+                    img_right: Optional[np.ndarray] = None
                     ) -> Optional[np.ndarray]:
-        """One synchronized camera frame end-to-end."""
+        """One synchronized camera frame end-to-end. ``img_right``: rectified
+        stereo pair image (used when ``camera.baseline`` > 0 and no RGBD
+        depth is supplied)."""
+        self._seed_tracker_predictions()
         with self.stats.time("track"):
-            feats = self.tracker.track(t, img, depth)
+            feats = self.tracker.track(t, img, depth, img_right=img_right)
 
         if self.detector_params is not None and len(self.tracker.prev_pts):
             from .detector.model import cull_features_in_boxes, detect
@@ -161,6 +166,48 @@ class GroundFusionSystem:
             if self.voxel_map is not None and depth is not None:
                 self._map_keyframe(pose, img, depth)
         return pose
+
+    def _seed_tracker_predictions(self):
+        """Project solved landmarks through the IMU-rate propagated pose into
+        pixel predictions for the next LK solve (the reference's
+        ``predictPtsInNextFrame`` → ``FeatureTracker::setPrediction`` chain,
+        feature_tracker.cpp:118-133) — prediction-seeded flow survives fast
+        motion where the previous-position seed diverges."""
+        est = self.estimator
+        od = est.latest_odometry()
+        if od is None or not est.slot_of:
+            return
+        import jax.numpy as jnp
+
+        from .geometry.se3 import pose_apply, pose_apply_inv, pose_compose
+
+        _, pose7, _ = od
+        tr = est.core.tracks
+        ok = np.asarray(tr.active & tr.solve_ok)
+        if not ok.any():
+            return
+        sf = np.asarray(tr.start_frame)
+        obs = np.asarray(tr.obs)
+        depth = 1.0 / np.maximum(np.asarray(tr.inv_depth), 1e-6)
+        cams = pose_compose(est.core.state.poses, est.core.state.ex_cam[None, :])
+        rays = np.concatenate(
+            [obs[np.arange(len(sf)), sf, 0:2], np.ones((len(sf), 1))], axis=1)
+        pts_w = np.asarray(pose_apply(cams[jnp.asarray(sf)],
+                                      jnp.asarray(rays * depth[:, None])))
+        cam_pred = pose_compose(jnp.asarray(pose7, jnp.float64),
+                                est.core.state.ex_cam.astype(jnp.float64))
+        pc = np.asarray(pose_apply_inv(cam_pred, jnp.asarray(pts_w)))
+        vis = ok & (pc[:, 2] > 0.1)
+        if not vis.any():
+            return
+        px = np.asarray(self.cam.space_to_plane(jnp.asarray(pc, jnp.float32)))
+        slot_to_id = {s: fid for fid, s in est.slot_of.items()}
+        preds = {}
+        for s in np.nonzero(vis)[0]:
+            fid = slot_to_id.get(int(s))
+            if fid is not None:
+                preds[fid] = (float(px[s, 0]), float(px[s, 1]))
+        self.tracker.set_prediction(preds)
 
     # ------------------------------------------------------------ keyframes
 

@@ -267,13 +267,14 @@ GPS_TYPES = {"sensor_msgs/NavSatFix"}
 
 def convert(bag_path: str, out_dir: str, imu_topic=None, wheel_topic=None,
             image_topic=None, depth_topic=None, gps_topic=None,
-            depth_scale=1000.0, max_frames=None, sync_ms=3.0) -> dict:
+            depth_scale=1000.0, max_frames=None, sync_ms=3.0,
+            right_topic=None) -> dict:
     """Run the conversion; returns counters for reporting/tests."""
     import numpy as np
 
     os.makedirs(os.path.join(out_dir, "img"), exist_ok=True)
     imu_rows, wheel_rows, gps_rows = [], [], []
-    color, depth = [], []          # (t, path)
+    color, depth, right = [], [], []          # (t, path)
     n_img = 0
 
     for topic, mtype, t_bag, raw in read_bag(bag_path):
@@ -292,9 +293,12 @@ def convert(bag_path: str, out_dir: str, imu_topic=None, wheel_topic=None,
             is_depth = depth_topic is not None and topic == depth_topic
             if not is_depth and depth_topic is None and "depth" in topic:
                 is_depth = True
-            if not is_depth and image_topic not in (None, topic):
+            is_right = (not is_depth and right_topic is not None
+                        and topic == right_topic)
+            if not is_depth and not is_right and image_topic not in (None, topic):
                 continue
-            if max_frames is not None and not is_depth and len(color) >= max_frames:
+            if max_frames is not None and not (is_depth or is_right) \
+                    and len(color) >= max_frames:
                 continue
             if mtype in IMAGE_TYPES:
                 t, enc, img = parse_image(raw)
@@ -305,22 +309,29 @@ def convert(bag_path: str, out_dir: str, imu_topic=None, wheel_topic=None,
                 if enc in ("mono16", "16UC1"):
                     img = img / depth_scale       # mm → m (D435i convention)
                 name = f"img/d{n_img:06d}.npy"
+            elif is_right:
+                name = f"img/r{n_img:06d}.npy"
             else:
                 name = f"img/c{n_img:06d}.npy"
             n_img += 1
             np.save(os.path.join(out_dir, name), img.astype(np.float32))
-            (depth if is_depth else color).append((t, name))
+            (depth if is_depth else right if is_right else color).append((t, name))
 
-    # pair color/depth by nearest stamp within ±sync_ms (rosNodeTest sync)
+    # pair color/depth/right by nearest stamp within ±sync_ms (rosNodeTest sync)
     frames = []
     dts = np.array([t for t, _ in depth]) if depth else None
+    rts = np.array([t for t, _ in right]) if right else None
     for t, cpath in sorted(color):
-        dpath = ""
+        dpath = rpath = ""
         if dts is not None and len(dts):
             j = int(np.argmin(np.abs(dts - t)))
             if abs(dts[j] - t) < sync_ms * 1e-3:
                 dpath = depth[j][1]
-        frames.append((t, cpath, dpath))
+        if rts is not None and len(rts):
+            j = int(np.argmin(np.abs(rts - t)))
+            if abs(rts[j] - t) < sync_ms * 1e-3:
+                rpath = right[j][1]
+        frames.append((t, cpath, dpath, rpath))
 
     def dump(name, rows, fmt):
         if not rows:
@@ -332,9 +343,10 @@ def convert(bag_path: str, out_dir: str, imu_topic=None, wheel_topic=None,
     dump("imu.csv", imu_rows, lambda r: ",".join(f"{v:.9f}" for v in r))
     dump("wheel.csv", wheel_rows, lambda r: ",".join(f"{v:.9f}" for v in r))
     dump("gps.csv", gps_rows, lambda r: ",".join(f"{v:.9f}" for v in r))
-    dump("frames.csv", frames, lambda r: f"{r[0]:.9f},{r[1]},{r[2]}")
+    dump("frames.csv", frames,
+         lambda r: f"{r[0]:.9f},{r[1]},{r[2]}" + (f",{r[3]}" if r[3] else ""))
     return dict(imu=len(imu_rows), wheel=len(wheel_rows), gps=len(gps_rows),
-                frames=len(frames), depth=len(depth))
+                frames=len(frames), depth=len(depth), right=len(right))
 
 
 def main(argv=None):
@@ -347,13 +359,15 @@ def main(argv=None):
     ap.add_argument("--image-topic")
     ap.add_argument("--depth-topic")
     ap.add_argument("--gps-topic")
+    ap.add_argument("--right-topic", help="rectified right stereo image topic")
     ap.add_argument("--depth-scale", type=float, default=1000.0,
                     help="divisor mapping 16UC1 depth to meters (D435i: mm)")
     ap.add_argument("--max-frames", type=int)
     args = ap.parse_args(argv)
     counts = convert(args.bag, args.out_dir, args.imu_topic, args.wheel_topic,
                      args.image_topic, args.depth_topic, args.gps_topic,
-                     args.depth_scale, args.max_frames)
+                     args.depth_scale, args.max_frames,
+                     right_topic=args.right_topic)
     print(f"converted: {counts}")
     return 0
 

@@ -1,5 +1,10 @@
 import os, sys, time, dataclasses
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# --cpu: force local CPU (the env var is pinned to the remote axon tunnel by
+# sitecustomize; per-stage timing there is dominated by dispatch round-trips)
+if "--cpu" in sys.argv:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 import numpy as np, jax, jax.numpy as jnp
 from ground_fusion_tpu.config import Config
 from ground_fusion_tpu.estimator.step import make_window_step

@@ -162,3 +162,25 @@ def test_sample_depth_nearest():
     depth[4, 7] = 2.5
     out = sample_depth(jnp.asarray(depth), jnp.asarray([[6.8, 4.2]], jnp.float32))
     assert float(out[0]) == pytest.approx(2.5)
+
+
+def test_stereo_disparity_depth():
+    """STEREO ingest: a rectified right image with known constant disparity
+    yields metric depths fx·baseline/d through the tracker's depth channel
+    (the second image stream of rosNodeTest.cpp:678-711)."""
+    from ground_fusion_tpu.cameras.models import PinholeParams
+    from ground_fusion_tpu.frontend.tracker import FeatureTracker
+
+    img_l = _texture(seed=5)
+    disp = 6.0
+    img_r = _shift(img_l, -disp, 0.0)     # feature at x appears at x - disp
+
+    cam = PinholeParams(fx=100.0, fy=100.0, cx=80.0, cy=60.0,
+                        k1=0.0, k2=0.0, p1=0.0, p2=0.0)
+    tr = FeatureTracker(cam, max_cnt=48, min_dist=12)
+    tr.baseline = 0.12                    # fx·b/d = 100·0.12/6 = 2.0 m
+    feats = tr.track(0.0, img_l, img_right=img_r)
+    depths = np.array([f.depth for f in feats.values()])
+    got = depths[depths > 0]
+    assert len(got) >= 10, "too few stereo depths"
+    np.testing.assert_allclose(got, 2.0, rtol=0.08)
