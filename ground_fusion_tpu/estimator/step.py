@@ -103,6 +103,39 @@ def base_free_mask(cfg: Config, layout: StateLayout) -> np.ndarray:
 
 def make_window_step(cfg: Config):
     """Build the jitted window step specialized on the static config."""
+    step, layout = _build_step(cfg)
+    # NOTE: buffer donation is deliberately off — freshly-initialized cores
+    # legitimately alias zero-filled leaves (f(donate(a), donate(a)) trap).
+    return jax.jit(step), layout
+
+
+def make_window_burst(cfg: Config):
+    """Burst/replay mode: a whole CHUNK of window steps fused into one device
+    dispatch via ``lax.scan`` — ``burst(core, flags_batch)`` where every leaf
+    of ``flags_batch`` carries a leading chunk axis K.
+
+    Rationale (measured on the TPU tunnel): one window step's device time is
+    ~20 µs but dispatching its 53-leaf core pytree costs ~150 µs of host/
+    tunnel overhead — a trivial identity jit over the same pytree measures the
+    same 150 µs as the full estimator step. Sequential keyframe solves are
+    therefore dispatch-bound, and the TPU-native fix is to keep the
+    core↔device round-trip out of the per-frame path: scan the step body so K
+    keyframes cost one dispatch. This is the offline/replay analog of the
+    reference's measurement pump (``processMeasurements`` drains everything
+    available, ``estimator.cpp:526-711``); outputs are stacked per step, so
+    the full per-keyframe odometry stream is preserved.
+    """
+    step, layout = _build_step(cfg)
+
+    def burst(core: EstimatorCore, flags_batch: StepFlags):
+        return jax.lax.scan(lambda c, fl: step(c, fl), core, flags_batch)
+
+    return jax.jit(burst), layout
+
+
+def _build_step(cfg: Config):
+    """The raw (un-jitted) window step body, shared by the single-step and
+    burst entry points."""
     layout = StateLayout(
         cfg.num_frames, cfg.solver.max_landmarks,
         cfg.lines.max_lines if cfg.use_line else 0,
@@ -336,6 +369,4 @@ def make_window_step(cfg: Config):
         return core_new, {"pose": state.poses[f - 1], "sb": state.sbs[f - 1], "cost": cost,
                           "poses": state.poses}
 
-    # NOTE: buffer donation is deliberately off — freshly-initialized cores
-    # legitimately alias zero-filled leaves (f(donate(a), donate(a)) trap).
-    return jax.jit(step), layout
+    return step, layout

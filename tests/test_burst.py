@@ -1,0 +1,116 @@
+"""Burst/replay mode: K scanned window steps in one dispatch must reproduce
+the sequential per-step program (the bench.py and offline-replay hot path)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ground_fusion_tpu.config import Config
+from ground_fusion_tpu.estimator.step import (
+    StepFlags,
+    make_window_burst,
+    make_window_step,
+)
+
+
+def _small_cfg():
+    cfg = Config()
+    return dataclasses.replace(
+        cfg,
+        solver=dataclasses.replace(cfg.solver, max_landmarks=32, max_iters=4),
+    )
+
+
+def _filled_core(cfg):
+    from __graft_entry__ import _example_core_and_flags
+
+    core, flags = _example_core_and_flags(cfg, jnp.float32)
+    ml, f = cfg.solver.max_landmarks, cfg.num_frames
+    rng = np.random.default_rng(0)
+    obs = np.zeros(core.tracks.obs.shape, np.float32)
+    obs[..., 0] = rng.normal(0.1, 0.02, obs.shape[:-1])
+    obs[..., 1] = rng.normal(-0.05, 0.02, obs.shape[:-1])
+    obs[..., 4] = 2.0
+    tr = core.tracks._replace(
+        active=jnp.ones(ml, bool),
+        solve_ok=jnp.ones(ml, bool),
+        obs=jnp.asarray(obs),
+        obs_valid=jnp.ones((ml, f), bool),
+        inv_depth=jnp.full((ml,), 0.5, jnp.float32),
+    )
+    ib = core.imu_buf._replace(
+        dts=jnp.full_like(core.imu_buf.dts, 0.005),
+        acc=core.imu_buf.acc.at[..., 2].set(9.805),
+        valid=jnp.ones_like(core.imu_buf.valid),
+    )
+    wb = core.wheel_buf._replace(
+        dts=jnp.full_like(core.wheel_buf.dts, 0.01),
+        vel=core.wheel_buf.vel.at[..., 0].set(0.5),
+        valid=jnp.ones_like(core.wheel_buf.valid),
+    )
+    return core._replace(tracks=tr, imu_buf=ib, wheel_buf=wb), flags
+
+
+def test_burst_equals_sequential():
+    cfg = _small_cfg()
+    step, _ = make_window_step(cfg)
+    burst, _ = make_window_burst(cfg)
+    core, flags = _filled_core(cfg)
+
+    K = 5
+    # vary the per-step flags (alternate slide branches) so the scan really
+    # carries per-step inputs, like a dataset replay would
+    margs = jnp.asarray([True, False, True, True, False])
+    flags_batch = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (K,) + jnp.shape(a)), flags
+    )._replace(marg_old=margs)
+
+    c_seq = core
+    outs_seq = []
+    for k in range(K):
+        fl = jax.tree_util.tree_map(lambda a: a[k], flags_batch)
+        c_seq, out = step(c_seq, fl)
+        outs_seq.append(out)
+
+    c_b, outs_b = burst(core, flags_batch)
+
+    # XLA compiles the scanned and standalone programs with different fusion/
+    # reassociation, so f32 results drift ~1e-4 per step through the iterative
+    # solver; assert equivalence at physically-meaningful tolerances instead
+    # of bitwise equality. The marginalization prior's square-root factor
+    # (J0, r0) is an eigendecomposition square root — unique only up to an
+    # orthogonal transform, and discontinuous under tiny input perturbations —
+    # so compare its INVARIANTS (information matrix J0ᵀJ0 and information
+    # vector J0ᵀr0) rather than the raw factor.
+    seq_d, b_d = c_seq._asdict(), c_b._asdict()
+    for name in seq_d:
+        if name == "prior":
+            continue
+        for a, b in zip(jax.tree_util.tree_leaves(seq_d[name]),
+                        jax.tree_util.tree_leaves(b_d[name])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=2e-3)
+    L_seq = np.asarray(c_seq.prior.J0, np.float64)
+    L_b = np.asarray(c_b.prior.J0, np.float64)
+    info_seq = L_seq.T @ L_seq
+    info_b = L_b.T @ L_b
+    scale = max(np.abs(info_seq).max(), 1.0)
+    np.testing.assert_allclose(info_b, info_seq, atol=2e-3 * scale)
+    # the information vector amplifies the (tolerated) state drift through Λ:
+    # |Δg| ≲ |Λ|·|Δx|, so its tolerance scales with the information magnitude
+    g_seq = L_seq.T @ np.asarray(c_seq.prior.r0, np.float64)
+    g_b = L_b.T @ np.asarray(c_b.prior.r0, np.float64)
+    np.testing.assert_allclose(g_b, g_seq, atol=2e-3 * scale)
+    np.testing.assert_array_equal(np.asarray(c_seq.prior.valid),
+                                  np.asarray(c_b.prior.valid))
+    for a, b in zip(jax.tree_util.tree_leaves(c_seq.prior.lin),
+                    jax.tree_util.tree_leaves(c_b.prior.lin)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-3)
+    for k in range(K):
+        np.testing.assert_allclose(
+            np.asarray(outs_seq[k]["pose"]), np.asarray(outs_b["pose"][k]),
+            rtol=1e-3, atol=1e-3,
+        )
