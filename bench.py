@@ -98,6 +98,28 @@ def main() -> None:
         jax.block_until_ready((c, o))
         rounds.append(BURST_K * BURSTS_PER_ROUND / (time.perf_counter() - t0))
 
+    # --- secondary: batched fleet replay (B sequences × K steps/dispatch) ---
+    from ground_fusion_tpu.estimator.step import make_window_burst_batched
+
+    B = 8
+    fleet, _ = make_window_burst_batched(cfg)
+    cores_b = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (B,) + jnp.shape(a)), core
+    )
+    flags_bb = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (BURST_K, B) + jnp.shape(a)), flags
+    )
+    c, o = fleet(cores_b, flags_bb)
+    jax.block_until_ready((c, o))
+    fleet_rounds = []
+    for _ in range(ROUNDS):
+        c = cores_b
+        t0 = time.perf_counter()
+        for _ in range(BURSTS_PER_ROUND):
+            c, o = fleet(c, flags_bb)
+        jax.block_until_ready((c, o))
+        fleet_rounds.append(B * BURST_K * BURSTS_PER_ROUND / (time.perf_counter() - t0))
+
     # --- secondary: live (per-frame dispatch) latency mode ---
     c, o = step(core, flags)
     jax.block_until_ready((c, o))
@@ -121,6 +143,9 @@ def main() -> None:
         "spread": [round(min(rounds), 1), round(max(rounds), 1)],
         "live_steps_per_s": round(live_med, 2),
         "live_rounds": [round(r, 1) for r in live_rounds],
+        "fleet_steps_per_s": round(statistics.median(fleet_rounds), 2),
+        "fleet_batch": B,
+        "fleet_rounds": [round(r, 1) for r in fleet_rounds],
     }))
 
 

@@ -1,10 +1,11 @@
 """CLI entry: run the full system on a converted sequence directory.
 
-    python -m ground_fusion_tpu <config.yaml> <sequence_dir> [out_dir]
+    python -m ground_fusion_tpu <config.yaml> <sequence_dir> [out_dir] [--burst K]
 
 The ``rosrun vins vins_node config.yaml`` + ``rosbag play`` analog
 (README.md:146-161) for the file-driven dataset layout of
-:mod:`ground_fusion_tpu.io.dataset`."""
+:mod:`ground_fusion_tpu.io.dataset`. ``--burst K`` solves K frames per device
+dispatch (replay acceleration; see ``Config.burst_chunk``)."""
 
 from __future__ import annotations
 
@@ -12,7 +13,12 @@ import sys
 
 
 def main(argv=None):
-    argv = argv if argv is not None else sys.argv[1:]
+    argv = list(argv if argv is not None else sys.argv[1:])
+    burst = 0
+    if "--burst" in argv:
+        i = argv.index("--burst")
+        burst = int(argv[i + 1])
+        del argv[i : i + 2]
     if len(argv) < 2:
         print(__doc__)
         return 2
@@ -24,6 +30,10 @@ def main(argv=None):
     from .system import GroundFusionSystem
 
     cfg = load_yaml(cfg_path)
+    if burst:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, burst_chunk=burst)
     seq = Sequence.load(seq_dir)
     sys_ = GroundFusionSystem(cfg, out_dir)
 

@@ -133,6 +133,120 @@ def make_window_burst(cfg: Config):
     return jax.jit(burst), layout
 
 
+def make_window_burst_batched(cfg: Config):
+    """Fleet replay: B independent estimator cores advanced in lockstep —
+    ``scan`` over K steps of a ``vmap``-ed window step body.
+
+    The single window's matrices (~300×300 Hessian, ~3k Jacobian rows) leave
+    the MXU mostly idle; batching B sequences turns every matmul, Cholesky
+    and eigh into a batched op that actually fills the hardware. This is the
+    offline/serving analog of batched inference: one chip replays a whole
+    fleet's worth of logs concurrently (B bags at once), each with its own
+    sliding window, marginalization prior and slide branches.
+
+    ``burst(cores, flags_batch)``: every leaf of ``cores`` has leading axis B;
+    every leaf of ``flags_batch`` has leading axes [K, B]. Returns the final
+    batched cores and stacked outputs [K, B, ...].
+    """
+    step, layout = _build_step(cfg)
+    vstep = jax.vmap(step)
+
+    def burst(cores: EstimatorCore, flags_batch: StepFlags):
+        return jax.lax.scan(lambda c, fl: vstep(c, fl), cores, flags_batch)
+
+    return jax.jit(burst), layout
+
+
+def make_window_burst_ingest(cfg: Config):
+    """Burst replay WITH on-device measurement ingest: each scanned step first
+    writes frame k's sensor interval + feature observations into the core,
+    then runs the window step — so a whole replay chunk (ingest → solve →
+    marginalize → slide, K times) is ONE device dispatch.
+
+    Per-frame inputs (leading axis K), prepared host-side by
+    ``pipeline.Estimator`` against its NumPy track-table mirror:
+
+    - ``i_*`` / ``w_*`` — padded IMU/wheel interval arrays for buffer slot F-1
+    - ``rows [ML]`` — a PERMUTATION of landmark-slot indices: the first
+      entries are the slots written this frame, the rest are the unwritten
+      slots (padding that writes values back unchanged). A permutation makes
+      every scatter below collision-free and therefore well-defined.
+    - ``vals [ML,5]`` — observation rows for ``rows``; ``wmask [ML]`` — which
+      entries are real writes; ``nmask [ML]`` — which writes open a NEW slot
+      (scrub stale columns, reset depth/flags, re-anchor at F-1)
+    - ``marg_old []`` — the keyframe decision
+
+    Used by ``pipeline.Estimator.enable_burst``; equivalence with the
+    per-frame path is asserted by ``tests/test_burst.py``.
+    """
+    step, layout = _build_step(cfg)
+    f = cfg.num_frames
+    ml = cfg.solver.max_landmarks
+
+    def body(core: EstimatorCore, xs: dict):
+        dtype = core.state.poses.dtype
+        ib = core.imu_buf
+        ib = ib._replace(
+            dts=ib.dts.at[f - 1].set(xs["i_dts"]),
+            acc=ib.acc.at[f - 1].set(xs["i_acc"]),
+            gyr=ib.gyr.at[f - 1].set(xs["i_gyr"]),
+            valid=ib.valid.at[f - 1].set(xs["i_valid"]),
+            acc0=ib.acc0.at[f - 1].set(xs["i_acc0"]),
+            gyr0=ib.gyr0.at[f - 1].set(xs["i_gyr0"]),
+        )
+        wb = core.wheel_buf
+        wb = wb._replace(
+            dts=wb.dts.at[f - 1].set(xs["w_dts"]),
+            vel=wb.vel.at[f - 1].set(xs["w_vel"]),
+            gyr=wb.gyr.at[f - 1].set(xs["w_gyr"]),
+            valid=wb.valid.at[f - 1].set(xs["w_valid"]),
+            vel0=wb.vel0.at[f - 1].set(xs["w_vel0"]),
+            gyr0=wb.gyr0.at[f - 1].set(xs["w_gyr0"]),
+        )
+
+        tr = core.tracks
+        rows = xs["rows"]
+        wmask, nmask = xs["wmask"], xs["nmask"]
+        onehot = jnp.zeros((f,), bool).at[f - 1].set(True)
+        # new slots: scrub the previous tenant's columns, then write this
+        # frame's observation column for every written slot
+        ov = tr.obs_valid.at[rows].set(
+            jnp.where(nmask[:, None], onehot[None, :], tr.obs_valid[rows])
+        )
+        ov = ov.at[rows, f - 1].set(wmask | ov[rows, f - 1])
+        obs = tr.obs.at[rows, f - 1].set(
+            jnp.where(wmask[:, None], xs["vals"].astype(dtype), tr.obs[rows, f - 1])
+        )
+        tr = tr._replace(
+            obs=obs,
+            obs_valid=ov,
+            active=tr.active.at[rows].set(nmask | tr.active[rows]),
+            solve_ok=tr.solve_ok.at[rows].set(~nmask & tr.solve_ok[rows]),
+            depth_fixed=tr.depth_fixed.at[rows].set(~nmask & tr.depth_fixed[rows]),
+            start_frame=tr.start_frame.at[rows].set(
+                jnp.where(nmask, f - 1, tr.start_frame[rows])
+            ),
+            inv_depth=tr.inv_depth.at[rows].set(
+                jnp.where(nmask, jnp.asarray(0.2, dtype), tr.inv_depth[rows])
+            ),
+        )
+
+        flags = StepFlags(
+            marg_old=xs["marg_old"],
+            stationary=jnp.asarray(False),
+            wheel_valid=jnp.asarray(np.arange(f) >= 1),
+            imu_valid=jnp.asarray(np.arange(f) >= 1),
+            td_obs=jnp.zeros(f, dtype),
+            propagate_newest=jnp.asarray(True),
+        )
+        return step(core._replace(imu_buf=ib, wheel_buf=wb, tracks=tr), flags)
+
+    def burst(core: EstimatorCore, xs_batch: dict):
+        return jax.lax.scan(body, core, xs_batch)
+
+    return jax.jit(burst), layout
+
+
 def _build_step(cfg: Config):
     """The raw (un-jitted) window step body, shared by the single-step and
     burst entry points."""

@@ -72,6 +72,25 @@ def shard_tracks(tracks: Tracks, mesh: Mesh, axis: str = "lm") -> Tracks:
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, spec), tracks)
 
 
+def shard_fleet(cores, flags_batch, mesh: Mesh, axis: str = "lm"):
+    """Data-parallel fleet replay: place B batched estimator cores (leading
+    axis B on every leaf, as consumed by ``make_window_burst_batched``) with
+    the SEQUENCE axis sharded over the mesh — each device advances its own
+    sub-fleet of sliding windows with zero cross-device communication (the
+    embarrassingly-parallel DP axis, complementing the landmark-sharded TP
+    axis of :func:`shard_core` and the edge-sharded pose graph).
+
+    ``flags_batch`` leaves are ``[K, B, ...]`` — sharded on axis 1. B must
+    divide the mesh size evenly."""
+    c_spec = NamedSharding(mesh, P(axis))
+    f_spec = NamedSharding(mesh, P(None, axis))
+    cores = jax.tree_util.tree_map(
+        lambda a: jax.device_put(jnp.asarray(a), c_spec), cores)
+    flags_batch = jax.tree_util.tree_map(
+        lambda a: jax.device_put(jnp.asarray(a), f_spec), flags_batch)
+    return cores, flags_batch
+
+
 # ---------------------------------------------------------------------------
 # Edge-sharded 4-DoF pose graph (the keyframe-range scale-out axis)
 # ---------------------------------------------------------------------------

@@ -108,6 +108,9 @@ class Estimator:
         self.keyframe_flags: list[bool] = []
         # running parallax bookkeeping
         self._prev_feats: dict[int, FrameFeature] = {}
+        # burst replay (enable_burst): 0 = per-frame dispatch
+        self._burst_chunk = 0
+        self._mirror_synced = False
 
     def _initial_state(self):
         """Seed the window state from the config — the reference's
@@ -413,9 +416,146 @@ class Estimator:
 
         if self.solver_flag == self.INITIAL:
             out = self._fill_or_init(t, feats)
+        elif self._burst_chunk:
+            out = self._stage_burst_frame(t, feats, is_keyframe)
         else:
             out = self._nonlinear_frame(t, feats, is_keyframe)
         return out
+
+    # --------------------------------------------------------- burst replay
+
+    def enable_burst(self, chunk: int = 16) -> None:
+        """Replay acceleration: once NON_LINEAR, stage ``chunk`` frames and
+        solve them in ONE device dispatch (``make_window_burst_ingest`` —
+        on-device ingest + window step scanned K times). The per-frame path is
+        dispatch-bound through the TPU tunnel (~150 µs/step of host overhead
+        vs ~9 µs of device time), so replay throughput improves ~20×.
+
+        Host slot allocation runs against a NumPy mirror of the track table
+        (no per-frame device readback); the mirror is optimistic — device-side
+        deactivations (depth-shift failures, MCC outliers) are reconciled at
+        every flush, so a dead slot's recycling can lag by at most one chunk.
+        Not supported with line landmarks or tight GNSS (their ingest is
+        host-interactive per frame); failure detection runs per chunk instead
+        of per frame.
+        """
+        if self.cfg.use_line or self.cfg.gnss.enabled:
+            raise ValueError("burst replay requires use_line=False and gnss.enabled=False")
+        from .estimator.step import make_window_burst_ingest
+
+        self._burst_chunk = int(chunk)
+        self._burst_fn, _ = make_window_burst_ingest(self.cfg)
+        self._burst_xs: list[dict] = []
+        self._burst_meta: list[tuple[float, bool]] = []
+        self._mirror_synced = False
+
+    def _sync_mirror(self) -> None:
+        self._mirror_obs_valid = np.asarray(self.core.tracks.obs_valid).copy()
+        self._mirror_active = np.asarray(self.core.tracks.active).copy()
+        self._mirror_synced = True
+
+    def _assign_slots_mirror(self, feats: dict[int, FrameFeature]):
+        """Mirror-side twin of :meth:`_assign_slots`: allocate/recycle slots
+        against the NumPy mirror and return the padded write-set for the
+        on-device ingest. ``rows`` is a permutation of all slot indices
+        (written slots first) so every device scatter is collision-free."""
+        ml = self.cfg.solver.max_landmarks
+        sf = self.f - 1
+        for fid, slot in list(self.slot_of.items()):
+            if not self._mirror_active[slot]:
+                del self.slot_of[fid]
+                self.free_slots.append(slot)
+
+        written, vals, news = [], [], []
+        for fid, ft in feats.items():
+            slot = self.slot_of.get(fid)
+            if slot is None:
+                if not self.free_slots:
+                    continue
+                slot = self.free_slots.pop()
+                self.slot_of[fid] = slot
+                news.append(True)
+                self._mirror_active[slot] = True
+                self._mirror_obs_valid[slot, :] = False
+            else:
+                news.append(False)
+            written.append(slot)
+            vals.append([ft.x, ft.y, ft.vx, ft.vy, ft.depth])
+            self._mirror_obs_valid[slot, sf] = True
+
+        n = len(written)
+        rows = np.empty(ml, np.int32)
+        rows[:n] = written
+        unused = sorted(set(range(ml)) - set(written))
+        rows[n:] = unused
+        v = np.zeros((ml, 5), np.float64)
+        if n:
+            v[:n] = np.asarray(vals, np.float64)
+        wmask = np.zeros(ml, bool)
+        wmask[:n] = True
+        nmask = np.zeros(ml, bool)
+        nmask[:n] = news
+        return rows, v, wmask, nmask
+
+    def _stage_burst_frame(self, t, feats, is_keyframe) -> Optional[np.ndarray]:
+        f = self.f
+        if not self._burst_xs and not self._mirror_synced:
+            self._sync_mirror()
+        iv, wv = self._drain_interval(t)
+        self.ts.append(t)
+        if len(self.ts) > f:
+            self.ts.pop(0)
+        rows, vals, wmask, nmask = self._assign_slots_mirror(feats)
+        self._burst_xs.append(dict(
+            i_dts=iv[0], i_acc=iv[1], i_gyr=iv[2], i_valid=iv[3],
+            i_acc0=iv[4], i_gyr0=iv[5],
+            w_dts=wv[0], w_vel=wv[1], w_gyr=wv[2], w_valid=wv[3],
+            w_vel0=wv[4], w_gyr0=wv[5],
+            rows=rows, vals=vals, wmask=wmask, nmask=nmask,
+            marg_old=np.asarray(bool(is_keyframe)),
+        ))
+        self._burst_meta.append((t, bool(is_keyframe)))
+        # slide bookkeeping (mirror + timestamps), as _run_step's tail
+        if not is_keyframe:
+            self.ts = self.ts[: f - 2] + [self.ts[f - 1]]
+            ov = self._mirror_obs_valid
+            ov[:, f - 2] = ov[:, f - 1]
+            ov[:, f - 1] = False
+        else:
+            self.ts = self.ts[1:]
+            self._mirror_obs_valid = np.roll(self._mirror_obs_valid, -1, axis=1)
+            self._mirror_obs_valid[:, -1] = False
+        self._mirror_active &= self._mirror_obs_valid.any(axis=1)
+        if len(self._burst_xs) >= self._burst_chunk:
+            return self.flush_burst()
+        return None
+
+    def flush_burst(self) -> Optional[np.ndarray]:
+        """Dispatch all staged frames as one scanned device program, record
+        their per-keyframe odometry, reconcile the track-table mirror and run
+        the (per-chunk) failure check. Returns the newest optimized pose."""
+        if not getattr(self, "_burst_xs", None):
+            return None
+        xs = {
+            k: jnp.asarray(
+                np.stack([fr[k] for fr in self._burst_xs]),
+                bool if self._burst_xs[0][k].dtype == np.bool_
+                else (jnp.int32 if k == "rows" else self.dtype),
+            )
+            for k in self._burst_xs[0]
+        }
+        core_new, outs = self._burst_fn(self.core, xs)
+        self.core = core_new
+        poses = np.asarray(outs["pose"])
+        for k, (t, kf) in enumerate(self._burst_meta):
+            self.trajectory.append((t, poses[k]))
+            self.keyframe_flags.append(kf)
+        self._burst_xs = []
+        self._burst_meta = []
+        self._fp = None
+        self._sync_mirror()
+        self._check_failure()
+        return poses[-1]
 
     def _fill_or_init(self, t, feats):
         f = self.f
@@ -725,6 +865,9 @@ class Estimator:
         self.all_imu_window = []
         self.gnss_aligned = False
         self._first_gnss_opt = True   # estimator.cpp:152
+        self._mirror_synced = False
+        if getattr(self, "_burst_chunk", 0):
+            self._burst_xs, self._burst_meta = [], []
         self.reboots = getattr(self, "reboots", 0) + 1
 
     def _attach_gnss_epoch(self):

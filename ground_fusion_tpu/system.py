@@ -109,6 +109,22 @@ class GroundFusionSystem:
         self.calib_dump = CalibrationDump(out_dir)
         self.dead_reckoning = DeadReckoningPaths()
 
+        # burst replay (cfg.burst_chunk): the estimator solves K staged
+        # frames per device dispatch; post-solve hooks (loop keyframes,
+        # mapping, GPS fusion) drain from the trajectory at each flush
+        self._burst = False
+        if cfg.burst_chunk:
+            if cfg.use_line or cfg.gnss.enabled:
+                import warnings
+
+                warnings.warn("burst_chunk ignored: requires use_line=False "
+                              "and gnss.enabled=False")
+            else:
+                self.estimator.enable_burst(cfg.burst_chunk)
+                self._burst = True
+                self._burst_frames: dict[float, tuple] = {}  # t -> (img, depth)
+                self._consumed = 0
+
     # --------------------------------------------------------------- sensors
 
     def input_imu(self, t, acc, gyr):
@@ -134,7 +150,10 @@ class GroundFusionSystem:
         """One synchronized camera frame end-to-end. ``img_right``: rectified
         stereo pair image (used when ``camera.baseline`` > 0 and no RGBD
         depth is supplied)."""
-        self._seed_tracker_predictions()
+        if not self._burst:
+            # prediction seeding reads the freshly optimized core — a live-
+            # mode optimization; mid-chunk the core is stale in burst mode
+            self._seed_tracker_predictions()
         with self.stats.time("track"):
             feats = self.tracker.track(t, img, depth, img_right=img_right)
 
@@ -156,6 +175,16 @@ class GroundFusionSystem:
         with self.stats.time("solve"):
             pose = self.estimator.input_frame(t, feats, line_obs=line_obs)
 
+        if self._burst:
+            if self.pose_graph is not None or self.voxel_map is not None:
+                self._burst_frames[float(t)] = (img, depth)
+                # bound the backlog to one chunk + slack
+                while len(self._burst_frames) > self.cfg.burst_chunk + 2:
+                    self._burst_frames.pop(next(iter(self._burst_frames)))
+            if pose is not None:
+                self._drain_burst_hooks()
+            return pose
+
         if pose is not None:
             self.calib_dump.append(t, self.estimator.core.state)
             if self.global_fusion is not None:
@@ -166,6 +195,27 @@ class GroundFusionSystem:
             if self.voxel_map is not None and depth is not None:
                 self._map_keyframe(pose, img, depth)
         return pose
+
+    def _drain_burst_hooks(self):
+        """Run the post-solve hooks for every trajectory entry the last burst
+        flush produced. Keyframe payloads (window landmark clouds) come from
+        the post-chunk core — the same data, read once per flush instead of
+        once per frame."""
+        est = self.estimator
+        while self._consumed < len(est.trajectory):
+            t_k, pose_k = est.trajectory[self._consumed]
+            kf = est.keyframe_flags[self._consumed]
+            self._consumed += 1
+            self.calib_dump.append(t_k, est.core.state)
+            if self.global_fusion is not None:
+                self.global_fusion.input_odom(t_k, pose_k)
+            frame = self._burst_frames.get(float(t_k))
+            if frame is not None:
+                img_k, depth_k = frame
+                if self.pose_graph is not None and kf:
+                    self._add_loop_keyframe(t_k, img_k, pose_k)
+                if self.voxel_map is not None and depth_k is not None:
+                    self._map_keyframe(pose_k, img_k, depth_k)
 
     def _seed_tracker_predictions(self):
         """Project solved landmarks through the IMU-rate propagated pose into
@@ -299,6 +349,9 @@ class GroundFusionSystem:
 
     def finish(self):
         est = self.estimator
+        if self._burst:
+            est.flush_burst()
+            self._drain_burst_hooks()
         est.write_tum(os.path.join(self.out_dir, "vio.txt"))
         if self.pose_graph is not None:
             self.pose_graph.write_tum(os.path.join(self.out_dir, "loop.txt"))

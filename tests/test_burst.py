@@ -53,6 +53,64 @@ def _filled_core(cfg):
     return core._replace(tracks=tr, imu_buf=ib, wheel_buf=wb), flags
 
 
+def test_pipeline_burst_replay_matches_per_frame():
+    """Full host-pipeline replay with enable_burst(): the burst-ingest scanned
+    program (on-device measurement writes + window step, K per dispatch) must
+    reproduce the per-frame-dispatch trajectory."""
+    from tests.test_pipeline import run_pipeline
+    from ground_fusion_tpu.utils.evaluate import ate_rmse
+
+    est_a, gt = run_pipeline(n_frames=24)
+    est_b, _ = run_pipeline(n_frames=24, burst=5)
+
+    assert len(est_b.trajectory) == len(est_a.trajectory)
+    xyz_a = np.stack([p[0:3] for _, p in est_a.trajectory])
+    xyz_b = np.stack([p[0:3] for _, p in est_b.trajectory])
+    # identical inputs, identical math modulo XLA fusion differences
+    np.testing.assert_allclose(xyz_b, xyz_a, atol=1e-3)
+    gt_xyz = np.stack([gt[t][0:3] for t, _ in est_b.trajectory])
+    assert ate_rmse(xyz_b, gt_xyz) < 0.05
+
+
+def test_batched_fleet_replay_matches_per_sequence():
+    """make_window_burst_batched: B cores advanced in lockstep must match B
+    independent single-sequence bursts."""
+    from ground_fusion_tpu.estimator.step import make_window_burst_batched
+
+    cfg = _small_cfg()
+    burst, _ = make_window_burst_batched(cfg)
+    single, _ = make_window_burst(cfg)
+
+    B, K = 3, 4
+    cores, fb_list = [], []
+    for b in range(B):
+        core, flags = _filled_core(cfg)
+        # decorrelate the sequences: scale depths / observations per b
+        core = core._replace(tracks=core.tracks._replace(
+            inv_depth=core.tracks.inv_depth * (1.0 + 0.1 * b)))
+        margs = jnp.asarray([(k + b) % 2 == 0 for k in range(K)])
+        fb = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (K,) + jnp.shape(a)), flags
+        )._replace(marg_old=margs)
+        cores.append(core)
+        fb_list.append(fb)
+
+    cores_b = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cores)
+    fb_b = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=1), *fb_list)
+
+    cb, ob = burst(cores_b, fb_b)
+    for b in range(B):
+        cs, os_ = single(cores[b], fb_list[b])
+        np.testing.assert_allclose(
+            np.asarray(os_["pose"]), np.asarray(ob["pose"][:, b]),
+            rtol=1e-3, atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(cs.tracks.inv_depth), np.asarray(cb.tracks.inv_depth[b]),
+            rtol=1e-3, atol=2e-3,
+        )
+
+
 def test_burst_equals_sequential():
     cfg = _small_cfg()
     step, _ = make_window_step(cfg)

@@ -40,3 +40,36 @@ def test_cli_full_system(tmp_path):
     assert ate < 0.1, f"full-system ATE {ate:.4f} m"
     assert os.path.exists(os.path.join(out, "timing.txt"))
     assert os.path.exists(os.path.join(out, "td.csv"))
+
+
+@pytest.mark.slow
+def test_cli_full_system_burst(tmp_path):
+    """Same binary-level replay with ``--burst 8`` (K window steps per device
+    dispatch): the accelerated replay must hold the same ATE bound."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seq = str(tmp_path / "seq")
+    out = str(tmp_path / "out")
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        "camera:\n  fx: 460.0\n  fy: 460.0\n  cx: 320.0\n  cy: 240.0\n"
+        "tracker:\n  max_features: 128\n  min_dist_px: 25.0\n  depth_max: 7.0\n"
+        "use_depth: true\n"
+    )
+    env = dict(os.environ,
+               PYTHONPATH=root,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    subprocess.run([sys.executable, os.path.join(root, "scripts/make_synth_seq.py"),
+                    seq, "35"], check=True, env=env, timeout=300)
+    r = subprocess.run([sys.executable, "-m", "ground_fusion_tpu", str(cfg), seq, out,
+                        "--burst", "8"],
+                       check=True, env=env, timeout=500, capture_output=True, text=True)
+    assert "trajectory written" in r.stdout
+    est = np.loadtxt(os.path.join(out, "vio.txt"))
+    gt = np.loadtxt(os.path.join(seq, "gt.csv"))
+    assert len(est) >= 20
+    gt_i = np.stack([np.interp(est[:, 0], gt[:, 0], gt[:, i]) for i in (1, 2, 3)], -1)
+    from ground_fusion_tpu.utils.evaluate import ate_rmse
+
+    ate = ate_rmse(est[:, 1:4], gt_i)
+    assert ate < 0.1, f"full-system burst ATE {ate:.4f} m"

@@ -129,3 +129,54 @@ def test_sharded_pose_graph_matches_single():
     np.testing.assert_allclose(np.asarray(t2), np.asarray(t1), atol=1e-8)
     # and it actually recovers ground truth
     np.testing.assert_allclose(np.asarray(t2), gt_t, atol=1e-5)
+
+
+def test_dp_sharded_fleet_matches_unsharded():
+    """Data-parallel fleet replay: B=8 batched cores with the sequence axis
+    sharded over the 8-device mesh must equal the unsharded batched program
+    (zero cross-device communication — the DP scale-out axis)."""
+    import dataclasses
+
+    from ground_fusion_tpu.estimator.step import make_window_burst_batched
+    from ground_fusion_tpu.parallel.sharded import shard_fleet
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, solver=dataclasses.replace(cfg.solver, max_landmarks=32, max_iters=4))
+    sp = SimParams()
+    _, layout = make_window_step(cfg)
+    burst, _ = make_window_burst_batched(cfg)
+    prob = build_window_problem(cfg, sp, dtype=DT)
+    f = cfg.num_frames
+
+    core = EstimatorCore(
+        state=prob["state"], tracks=prob["tracks"], imu_buf=prob["imu_buf"],
+        wheel_buf=prob["wheel_buf"], prior=empty_prior(layout, f, DT),
+    )
+    B, K = 8, 3
+    cores, fbs = [], []
+    for b in range(B):
+        cores.append(core._replace(tracks=core.tracks._replace(
+            inv_depth=core.tracks.inv_depth * (1.0 + 0.02 * b))))
+        flags = StepFlags(
+            marg_old=jnp.asarray(True), stationary=jnp.asarray(False),
+            wheel_valid=prob["interval_valid"], imu_valid=prob["interval_valid"],
+            td_obs=jnp.zeros(f, DT), propagate_newest=jnp.asarray(False),
+        )
+        fb = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (K,) + jnp.shape(a)), flags
+        )._replace(marg_old=jnp.asarray([(k + b) % 2 == 0 for k in range(K)]))
+        fbs.append(fb)
+    cores_b = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cores)
+    fb_b = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=1), *fbs)
+
+    c1, o1 = burst(cores_b, fb_b)
+
+    mesh = make_lm_mesh(8, axis="seq")
+    cores_s, fb_s = shard_fleet(cores_b, fb_b, mesh, axis="seq")
+    c8, o8 = burst(cores_s, fb_s)
+
+    np.testing.assert_allclose(np.asarray(o8["pose"]), np.asarray(o1["pose"]),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(c8.tracks.inv_depth),
+                               np.asarray(c1.tracks.inv_depth), atol=1e-8)

@@ -23,10 +23,12 @@ DT = jnp.float64
 
 
 def run_pipeline(n_frames=35, pix_noise=0.0, with_depth=True, seed=0, cfg=None,
-                 n_landmarks=200):
+                 n_landmarks=200, burst=0):
     cfg = cfg if cfg is not None else Config()
     sp = SimParams(pix_noise=pix_noise, seed=seed)
     est = Estimator(cfg, dtype=DT)
+    if burst:
+        est.enable_burst(burst)
     ex = body_T_cam(DT)
     pts_w = jnp.asarray(make_landmarks(n_landmarks, sp, seed=seed + 1), DT)
     rng = np.random.default_rng(seed + 7)
@@ -66,6 +68,8 @@ def run_pipeline(n_frames=35, pix_noise=0.0, with_depth=True, seed=0, cfg=None,
         }
         est.input_frame(t, feats)
         gt.append((t, np.asarray(gt_pose7(t, sp))))
+    if burst:
+        est.flush_burst()
     return est, dict(gt)
 
 
