@@ -228,9 +228,10 @@ class Config:
     output_path: str = "output"
     # replay acceleration: stage this many frames and solve them in ONE
     # device dispatch (pipeline.Estimator.enable_burst — on-device ingest +
-    # scanned window steps). 0 = per-frame dispatch (live/latency mode).
-    # Requires use_line=False and gnss.enabled=False; replay-only — a live
-    # robot wants the per-frame path's latency.
+    # scanned window steps; supports point AND line landmarks). 0 = per-frame
+    # dispatch (live/latency mode). Requires gnss.enabled=False (epoch
+    # attachment is host-interactive); replay-only — a live robot wants the
+    # per-frame path's latency.
     burst_chunk: int = 0
 
     @property

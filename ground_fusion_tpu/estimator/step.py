@@ -175,6 +175,8 @@ def make_window_burst_ingest(cfg: Config):
       entries are real writes; ``nmask [ML]`` — which writes open a NEW slot
       (scrub stale columns, reset depth/flags, re-anchor at F-1)
     - ``marg_old []`` — the keyframe decision
+    - when ``cfg.use_line``: ``l_rows/l_vals/l_wmask/l_nmask`` — the same
+      permutation-write scheme for the line-landmark table
 
     Used by ``pipeline.Estimator.enable_burst``; equivalence with the
     per-frame path is asserted by ``tests/test_burst.py``.
@@ -231,6 +233,33 @@ def make_window_burst_ingest(cfg: Config):
             ),
         )
 
+        core = core._replace(imu_buf=ib, wheel_buf=wb, tracks=tr)
+
+        if cfg.use_line:
+            ln = core.lines
+            lr = xs["l_rows"]
+            lw, lnw = xs["l_wmask"], xs["l_nmask"]
+            lov = ln.obs_valid.at[lr].set(
+                jnp.where(lnw[:, None], onehot[None, :], ln.obs_valid[lr])
+            )
+            lov = lov.at[lr, f - 1].set(lw | lov[lr, f - 1])
+            lobs = ln.obs.at[lr, f - 1].set(
+                jnp.where(lw[:, None], xs["l_vals"].astype(dtype), ln.obs[lr, f - 1])
+            )
+            ln = ln._replace(
+                obs=lobs,
+                obs_valid=lov,
+                active=ln.active.at[lr].set(lnw | ln.active[lr]),
+                solve_ok=ln.solve_ok.at[lr].set(~lnw & ln.solve_ok[lr]),
+                start_frame=ln.start_frame.at[lr].set(
+                    jnp.where(lnw, f - 1, ln.start_frame[lr])
+                ),
+                orth=ln.orth.at[lr].set(
+                    jnp.where(lnw[:, None], 0.0, ln.orth[lr])
+                ),
+            )
+            core = core._replace(lines=ln)
+
         flags = StepFlags(
             marg_old=xs["marg_old"],
             stationary=jnp.asarray(False),
@@ -239,7 +268,7 @@ def make_window_burst_ingest(cfg: Config):
             td_obs=jnp.zeros(f, dtype),
             propagate_newest=jnp.asarray(True),
         )
-        return step(core._replace(imu_buf=ib, wheel_buf=wb, tracks=tr), flags)
+        return step(core, flags)
 
     def burst(core: EstimatorCore, xs_batch: dict):
         return jax.lax.scan(body, core, xs_batch)

@@ -431,16 +431,16 @@ class Estimator:
         dispatch-bound through the TPU tunnel (~150 µs/step of host overhead
         vs ~9 µs of device time), so replay throughput improves ~20×.
 
-        Host slot allocation runs against a NumPy mirror of the track table
-        (no per-frame device readback); the mirror is optimistic — device-side
-        deactivations (depth-shift failures, MCC outliers) are reconciled at
-        every flush, so a dead slot's recycling can lag by at most one chunk.
-        Not supported with line landmarks or tight GNSS (their ingest is
-        host-interactive per frame); failure detection runs per chunk instead
-        of per frame.
+        Host slot allocation (points AND line landmarks) runs against NumPy
+        mirrors of the padded tables (no per-frame device readback); the
+        mirrors are optimistic — device-side deactivations (depth-shift
+        failures, MCC/line outliers) are reconciled at every flush, so a dead
+        slot's recycling can lag by at most one chunk. Not supported with
+        tight GNSS (epoch attachment and VI alignment are host-interactive
+        per frame); failure detection runs per chunk instead of per frame.
         """
-        if self.cfg.use_line or self.cfg.gnss.enabled:
-            raise ValueError("burst replay requires use_line=False and gnss.enabled=False")
+        if self.cfg.gnss.enabled:
+            raise ValueError("burst replay requires gnss.enabled=False")
         from .estimator.step import make_window_burst_ingest
 
         self._burst_chunk = int(chunk)
@@ -452,6 +452,9 @@ class Estimator:
     def _sync_mirror(self) -> None:
         self._mirror_obs_valid = np.asarray(self.core.tracks.obs_valid).copy()
         self._mirror_active = np.asarray(self.core.tracks.active).copy()
+        if self.cfg.use_line and self.core.lines is not None:
+            self._mirror_line_obs_valid = np.asarray(self.core.lines.obs_valid).copy()
+            self._mirror_line_active = np.asarray(self.core.lines.active).copy()
         self._mirror_synced = True
 
     def _assign_slots_mirror(self, feats: dict[int, FrameFeature]):
@@ -497,6 +500,46 @@ class Estimator:
         nmask[:n] = news
         return rows, v, wmask, nmask
 
+    def _assign_line_slots_mirror(self, lobs: Optional[dict]):
+        """Line twin of :meth:`_assign_slots_mirror` (same permutation-write
+        scheme against the line-table mirror)."""
+        ll = self.cfg.lines.max_lines
+        sf = self.f - 1
+        for lid, slot in list(self.line_slot_of.items()):
+            if not self._mirror_line_active[slot]:
+                del self.line_slot_of[lid]
+                self.free_line_slots.append(slot)
+
+        written, vals, news = [], [], []
+        for lid, ob in (lobs or {}).items():
+            slot = self.line_slot_of.get(lid)
+            if slot is None:
+                if not self.free_line_slots:
+                    continue
+                slot = self.free_line_slots.pop()
+                self.line_slot_of[lid] = slot
+                news.append(True)
+                self._mirror_line_active[slot] = True
+                self._mirror_line_obs_valid[slot, :] = False
+            else:
+                news.append(False)
+            written.append(slot)
+            vals.append(np.asarray(ob, np.float64)[:4])
+            self._mirror_line_obs_valid[slot, sf] = True
+
+        n = len(written)
+        rows = np.empty(ll, np.int32)
+        rows[:n] = written
+        rows[n:] = sorted(set(range(ll)) - set(written))
+        v = np.zeros((ll, 4), np.float64)
+        if n:
+            v[:n] = np.stack(vals)
+        wmask = np.zeros(ll, bool)
+        wmask[:n] = True
+        nmask = np.zeros(ll, bool)
+        nmask[:n] = news
+        return rows, v, wmask, nmask
+
     def _stage_burst_frame(self, t, feats, is_keyframe) -> Optional[np.ndarray]:
         f = self.f
         if not self._burst_xs and not self._mirror_synced:
@@ -506,29 +549,47 @@ class Estimator:
         if len(self.ts) > f:
             self.ts.pop(0)
         rows, vals, wmask, nmask = self._assign_slots_mirror(feats)
-        self._burst_xs.append(dict(
+        fr = dict(
             i_dts=iv[0], i_acc=iv[1], i_gyr=iv[2], i_valid=iv[3],
             i_acc0=iv[4], i_gyr0=iv[5],
             w_dts=wv[0], w_vel=wv[1], w_gyr=wv[2], w_valid=wv[3],
             w_vel0=wv[4], w_gyr0=wv[5],
             rows=rows, vals=vals, wmask=wmask, nmask=nmask,
             marg_old=np.asarray(bool(is_keyframe)),
-        ))
+        )
+        if self.cfg.use_line:
+            lobs = self._pending_line_obs
+            self._pending_line_obs = None
+            lr, lv, lw, ln = self._assign_line_slots_mirror(lobs)
+            fr.update(l_rows=lr, l_vals=lv, l_wmask=lw, l_nmask=ln)
+        self._burst_xs.append(fr)
         self._burst_meta.append((t, bool(is_keyframe)))
         # slide bookkeeping (mirror + timestamps), as _run_step's tail
         if not is_keyframe:
             self.ts = self.ts[: f - 2] + [self.ts[f - 1]]
-            ov = self._mirror_obs_valid
-            ov[:, f - 2] = ov[:, f - 1]
-            ov[:, f - 1] = False
+            for ov in self._mirror_valids():
+                ov[:, f - 2] = ov[:, f - 1]
+                ov[:, f - 1] = False
         else:
             self.ts = self.ts[1:]
             self._mirror_obs_valid = np.roll(self._mirror_obs_valid, -1, axis=1)
             self._mirror_obs_valid[:, -1] = False
+            if self.cfg.use_line:
+                self._mirror_line_obs_valid = np.roll(
+                    self._mirror_line_obs_valid, -1, axis=1)
+                self._mirror_line_obs_valid[:, -1] = False
         self._mirror_active &= self._mirror_obs_valid.any(axis=1)
+        if self.cfg.use_line:
+            self._mirror_line_active &= self._mirror_line_obs_valid.any(axis=1)
         if len(self._burst_xs) >= self._burst_chunk:
             return self.flush_burst()
         return None
+
+    def _mirror_valids(self):
+        out = [self._mirror_obs_valid]
+        if self.cfg.use_line:
+            out.append(self._mirror_line_obs_valid)
+        return out
 
     def flush_burst(self) -> Optional[np.ndarray]:
         """Dispatch all staged frames as one scanned device program, record
@@ -540,7 +601,7 @@ class Estimator:
             k: jnp.asarray(
                 np.stack([fr[k] for fr in self._burst_xs]),
                 bool if self._burst_xs[0][k].dtype == np.bool_
-                else (jnp.int32 if k == "rows" else self.dtype),
+                else (jnp.int32 if k in ("rows", "l_rows") else self.dtype),
             )
             for k in self._burst_xs[0]
         }

@@ -114,11 +114,11 @@ class GroundFusionSystem:
         # mapping, GPS fusion) drain from the trajectory at each flush
         self._burst = False
         if cfg.burst_chunk:
-            if cfg.use_line or cfg.gnss.enabled:
+            if cfg.gnss.enabled:
                 import warnings
 
-                warnings.warn("burst_chunk ignored: requires use_line=False "
-                              "and gnss.enabled=False")
+                warnings.warn("burst_chunk ignored: requires gnss.enabled=False "
+                              "(GNSS epoch attachment is host-interactive)")
             else:
                 self.estimator.enable_burst(cfg.burst_chunk)
                 self._burst = True

@@ -72,6 +72,84 @@ def test_pipeline_burst_replay_matches_per_frame():
     assert ate_rmse(xyz_b, gt_xyz) < 0.05
 
 
+def test_pipeline_burst_with_lines_matches_per_frame():
+    """Burst replay with ``use_line``: the line-landmark ingest (slot
+    permutation writes + scrubs) scanned on device must reproduce the
+    per-frame line pipeline."""
+    from ground_fusion_tpu.pipeline import Estimator, FrameFeature
+    from ground_fusion_tpu.sim.synthetic import (
+        SimParams, body_T_cam, gt_pose7, imu_sample, make_landmarks,
+        make_segments, project_landmarks, project_segments, wheel_sample,
+    )
+
+    DT = jnp.float64
+    ex = body_T_cam(DT)
+    exn = np.asarray(ex)
+    cfg = Config(use_line=True)
+    cfg = dataclasses.replace(
+        cfg,
+        lines=dataclasses.replace(cfg.lines, max_lines=8, min_obs=4),
+        solver=dataclasses.replace(cfg.solver, max_landmarks=64, max_iters=4),
+        camera=dataclasses.replace(
+            cfg.camera, t_ic=tuple(exn[0:3]), q_ic=tuple(exn[3:7])),
+    )
+    sp = SimParams()
+    pts_w = jnp.asarray(make_landmarks(100, sp, seed=1), DT)
+    segs_w = jnp.asarray(make_segments(6, sp, seed=2), DT)
+
+    def run(burst):
+        est = Estimator(cfg, dtype=DT)
+        if burst:
+            est.enable_burst(burst)
+        frame_dt = 1.0 / sp.frame_rate
+        imu_dt = 1.0 / sp.imu_rate
+        wheel_dt = 1.0 / sp.wheel_rate
+        a, g = np.asarray(imu_sample(0.0, sp), dtype=np.float64)
+        est.input_imu(0.0, a, g)
+        v, wg = np.asarray(wheel_sample(0.0, sp), dtype=np.float64)
+        est.input_wheel(0.0, v, wg)
+        for k in range(18):
+            t = k * frame_dt
+            if k > 0:
+                tp = t - frame_dt
+                for ti in np.arange(tp + imu_dt, t + 0.5 * imu_dt, imu_dt):
+                    a, g = np.asarray(imu_sample(ti, sp), dtype=np.float64)
+                    est.input_imu(float(ti), a, g)
+                for ti in np.arange(tp + wheel_dt, t + 0.5 * wheel_dt, wheel_dt):
+                    v, wg = np.asarray(wheel_sample(ti, sp), dtype=np.float64)
+                    est.input_wheel(float(ti), v, wg)
+            uv, z, vis = project_landmarks(gt_pose7(t, sp), ex, pts_w)
+            uv, z, vis = np.asarray(uv), np.asarray(z), np.asarray(vis)
+            feats = {
+                int(i): FrameFeature(x=float(uv[i, 0]), y=float(uv[i, 1]),
+                                     depth=float(z[i]))
+                for i in np.nonzero(vis)[0]
+            }
+            obs4, lvis = project_segments(gt_pose7(t, sp), ex, segs_w)
+            obs4, lvis = np.asarray(obs4), np.asarray(lvis)
+            line_obs = {int(i): obs4[i] for i in np.nonzero(lvis)[0]}
+            est.input_frame(t, feats, line_obs=line_obs)
+        if burst:
+            est.flush_burst()
+        return est
+
+    est_a = run(0)
+    est_b = run(4)
+    assert len(est_b.trajectory) == len(est_a.trajectory)
+    xyz_a = np.stack([p[0:3] for _, p in est_a.trajectory])
+    xyz_b = np.stack([p[0:3] for _, p in est_b.trajectory])
+    np.testing.assert_allclose(xyz_b, xyz_a, atol=1e-3)
+    # the line tables agree slot-for-slot (the robot has circled past most
+    # segments by the end of the short run, so only ~1 slot is still active)
+    act_a = np.asarray(est_a.core.lines.active)
+    act_b = np.asarray(est_b.core.lines.active)
+    np.testing.assert_array_equal(act_b, act_a)
+    assert act_a.sum() >= 1
+    np.testing.assert_allclose(
+        np.asarray(est_b.core.lines.orth)[act_b],
+        np.asarray(est_a.core.lines.orth)[act_a], atol=2e-3)
+
+
 def test_batched_fleet_replay_matches_per_sequence():
     """make_window_burst_batched: B cores advanced in lockstep must match B
     independent single-sequence bursts."""
