@@ -228,10 +228,10 @@ class Config:
     output_path: str = "output"
     # replay acceleration: stage this many frames and solve them in ONE
     # device dispatch (pipeline.Estimator.enable_burst — on-device ingest +
-    # scanned window steps; supports point AND line landmarks). 0 = per-frame
-    # dispatch (live/latency mode). Requires gnss.enabled=False (epoch
-    # attachment is host-interactive); replay-only — a live robot wants the
-    # per-frame path's latency.
+    # scanned window steps; supports point AND line landmarks; with tight
+    # GNSS the chunk auto-flushes around host-interactive epochs). 0 =
+    # per-frame dispatch (live/latency mode); replay-only — a live robot
+    # wants the per-frame path's latency.
     burst_chunk: int = 0
 
     @property

@@ -260,6 +260,18 @@ def make_window_burst_ingest(cfg: Config):
             )
             core = core._replace(lines=ln)
 
+        gnss_kw = {}
+        if cfg.gnss.enabled:
+            # low-speed yaw freeze from the CURRENT state speed (the host
+            # flag in the per-frame path is the same quantity one readback
+            # older; estimator.cpp:2904-2930)
+            speed = jnp.linalg.norm(core.state.sbs[f - 1, 0:3])
+            gnss_kw = dict(
+                gnss_ready=xs["gnss_ready"],
+                frame_dts=xs["frame_dts"],
+                fix_yaw_enu=speed < cfg.gnss.low_speed_yaw_fix,
+                first_gnss_opt=jnp.asarray(False),
+            )
         flags = StepFlags(
             marg_old=xs["marg_old"],
             stationary=jnp.asarray(False),
@@ -267,6 +279,7 @@ def make_window_burst_ingest(cfg: Config):
             imu_valid=jnp.asarray(np.arange(f) >= 1),
             td_obs=jnp.zeros(f, dtype),
             propagate_newest=jnp.asarray(True),
+            **gnss_kw,
         )
         return step(core, flags)
 

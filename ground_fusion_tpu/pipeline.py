@@ -417,7 +417,17 @@ class Estimator:
         if self.solver_flag == self.INITIAL:
             out = self._fill_or_init(t, feats)
         elif self._burst_chunk:
-            out = self._stage_burst_frame(t, feats, is_keyframe)
+            if self.gnss is not None and (
+                    self._pending_gnss is not None or not self.gnss_aligned):
+                # host-interactive GNSS work this frame (epoch attachment /
+                # VI alignment): flush the staged chunk and take the
+                # per-frame path; staging resumes next frame. With epochs at
+                # ~1 Hz and frames at ~15 Hz, chunks form between epochs.
+                self.flush_burst()
+                out = self._nonlinear_frame(t, feats, is_keyframe)
+                self._mirror_synced = False
+            else:
+                out = self._stage_burst_frame(t, feats, is_keyframe)
         else:
             out = self._nonlinear_frame(t, feats, is_keyframe)
         return out
@@ -435,12 +445,12 @@ class Estimator:
         mirrors of the padded tables (no per-frame device readback); the
         mirrors are optimistic — device-side deactivations (depth-shift
         failures, MCC/line outliers) are reconciled at every flush, so a dead
-        slot's recycling can lag by at most one chunk. Not supported with
-        tight GNSS (epoch attachment and VI alignment are host-interactive
-        per frame); failure detection runs per chunk instead of per frame.
+        slot's recycling can lag by at most one chunk. With tight GNSS the
+        chunk auto-flushes whenever host-interactive work is pending (epoch
+        attachment, VI alignment) and that frame runs per-frame — chunks form
+        between epochs (~1 Hz epochs vs ~15 Hz frames). Failure detection
+        runs per chunk instead of per frame.
         """
-        if self.cfg.gnss.enabled:
-            raise ValueError("burst replay requires gnss.enabled=False")
         from .estimator.step import make_window_burst_ingest
 
         self._burst_chunk = int(chunk)
@@ -562,6 +572,11 @@ class Estimator:
             self._pending_line_obs = None
             lr, lv, lw, ln = self._assign_line_slots_mirror(lobs)
             fr.update(l_rows=lr, l_vals=lv, l_wmask=lw, l_nmask=ln)
+        if self.gnss is not None:
+            frame_dts = np.diff(np.asarray(self.ts, np.float64),
+                                prepend=self.ts[0])
+            fr.update(gnss_ready=np.asarray(self.gnss_aligned),
+                      frame_dts=frame_dts[:f])
         self._burst_xs.append(fr)
         self._burst_meta.append((t, bool(is_keyframe)))
         # slide bookkeeping (mirror + timestamps), as _run_step's tail

@@ -114,16 +114,10 @@ class GroundFusionSystem:
         # mapping, GPS fusion) drain from the trajectory at each flush
         self._burst = False
         if cfg.burst_chunk:
-            if cfg.gnss.enabled:
-                import warnings
-
-                warnings.warn("burst_chunk ignored: requires gnss.enabled=False "
-                              "(GNSS epoch attachment is host-interactive)")
-            else:
-                self.estimator.enable_burst(cfg.burst_chunk)
-                self._burst = True
-                self._burst_frames: dict[float, tuple] = {}  # t -> (img, depth)
-                self._consumed = 0
+            self.estimator.enable_burst(cfg.burst_chunk)
+            self._burst = True
+            self._burst_frames: dict[float, tuple] = {}  # t -> (img, depth)
+            self._consumed = 0
 
     # --------------------------------------------------------------- sensors
 

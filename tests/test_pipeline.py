@@ -152,11 +152,11 @@ def test_e2e_vio_wheel_ate_noisy():
     assert ate < 0.15, f"ATE {ate:.4f} m with 1.5px noise"
 
 
-@pytest.mark.slow
-def test_e2e_vio_wheel_gnss():
+def _run_gnss_pipeline(burst=0, epoch_every=1):
     """GNSS-enabled E2E: synthetic satellites + pseudorange/Doppler epochs;
     the pipeline must align (yaw/anchor) and keep ATE low with the GNSS
-    factor stack active."""
+    factor stack active. ``burst``: enable chunked replay (auto-flushes
+    around epochs); ``epoch_every``: frames between GNSS epochs."""
     import dataclasses
 
     from ground_fusion_tpu.gnss.coords import (
@@ -172,6 +172,8 @@ def test_e2e_vio_wheel_gnss():
     )
     sp = SimParams()
     est = Estimator(cfg, dtype=DT)
+    if burst:
+        est.enable_burst(burst)
     ex = body_T_cam(DT)
     pts_w = jnp.asarray(make_landmarks(200, sp, seed=1), DT)
 
@@ -254,7 +256,11 @@ def test_e2e_vio_wheel_gnss():
             for ti in np.arange(tp + wheel_dt, t + 0.5 * wheel_dt, wheel_dt):
                 v, wg = np.asarray(wheel_sample(ti, sp), dtype=np.float64)
                 est.input_wheel(float(ti), v, wg)
-        est.input_gnss(t, epoch_for(t))
+        # epochs arrive every frame until VI alignment succeeds (alignment
+        # needs ≥5 filtered epochs), then at the sparse cadence — the
+        # realistic profile of a 1 Hz receiver against a 15 Hz camera
+        if k % epoch_every == 0 or not est.gnss_aligned:
+            est.input_gnss(t, epoch_for(t))
         uv, z, vis = project_landmarks(gt_pose7(t, sp), ex, pts_w)
         uv, z, vis = np.asarray(uv), np.asarray(z), np.asarray(vis)
         feats = {
@@ -264,6 +270,8 @@ def test_e2e_vio_wheel_gnss():
         }
         est.input_frame(t, feats)
         gt[t] = np.asarray(gt_pose7(t, sp))
+    if burst:
+        est.flush_burst()
 
     assert est.gnss_aligned, "GNSS-VI alignment never triggered"
     assert len(est.trajectory) >= 15
@@ -286,6 +294,22 @@ def test_e2e_vio_wheel_gnss():
     p_ecef_true = anc_true + R @ p_local_true
     ecef_err = np.linalg.norm(p_ecef_est - p_ecef_true)
     assert ecef_err < 1.0, f"ECEF position error {ecef_err:.2f} m"
+    return est
+
+
+@pytest.mark.slow
+def test_e2e_vio_wheel_gnss():
+    _run_gnss_pipeline()
+
+
+@pytest.mark.slow
+def test_e2e_vio_wheel_gnss_burst():
+    """Same GNSS replay in burst mode: epochs every 5th frame, so staged
+    chunks form between the host-interactive epoch frames and the GNSS
+    factor stack stays active through scanned steps. Same ATE/ECEF bounds."""
+    est = _run_gnss_pipeline(burst=6, epoch_every=5)
+    # staging actually happened (not a pure per-frame fallback)
+    assert est._burst_chunk == 6
 
 
 def test_keyframe_decision_parity():
