@@ -449,7 +449,9 @@ class Estimator:
         chunk auto-flushes whenever host-interactive work is pending (epoch
         attachment, VI alignment) and that frame runs per-frame — chunks form
         between epochs (~1 Hz epochs vs ~15 Hz frames). Failure detection
-        runs per chunk instead of per frame.
+        runs per chunk instead of per frame. Call :meth:`flush_burst` before
+        reading ``core``/``trajectory`` or checkpointing
+        (``utils.checkpoint.save_core``); ``GroundFusionSystem.finish`` does.
         """
         from .estimator.step import make_window_burst_ingest
 
