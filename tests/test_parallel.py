@@ -131,6 +131,7 @@ def test_sharded_pose_graph_matches_single():
     np.testing.assert_allclose(np.asarray(t2), gt_t, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dp_sharded_fleet_matches_unsharded():
     """Data-parallel fleet replay: B=8 batched cores with the sequence axis
     sharded over the 8-device mesh must equal the unsharded batched program
