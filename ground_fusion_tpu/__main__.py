@@ -17,7 +17,14 @@ def main(argv=None):
     burst = 0
     if "--burst" in argv:
         i = argv.index("--burst")
-        burst = int(argv[i + 1])
+        if i + 1 >= len(argv):
+            print(__doc__)
+            return 2
+        try:
+            burst = int(argv[i + 1])
+        except ValueError:
+            print(__doc__)
+            return 2
         del argv[i : i + 2]
     if len(argv) < 2:
         print(__doc__)

@@ -80,8 +80,13 @@ def shard_fleet(cores, flags_batch, mesh: Mesh, axis: str = "lm"):
     embarrassingly-parallel DP axis, complementing the landmark-sharded TP
     axis of :func:`shard_core` and the edge-sharded pose graph).
 
-    ``flags_batch`` leaves are ``[K, B, ...]`` — sharded on axis 1. B must
-    divide the mesh size evenly."""
+    ``flags_batch`` leaves are ``[K, B, ...]`` — sharded on axis 1. The mesh
+    size must divide B evenly (each device owns B/mesh.size windows)."""
+    if flags_batch:
+        b = next(iter(jax.tree_util.tree_leaves(flags_batch))).shape[1]
+        if b % mesh.size != 0:
+            raise ValueError(
+                f"fleet batch B={b} not divisible by mesh size {mesh.size}")
     c_spec = NamedSharding(mesh, P(axis))
     f_spec = NamedSharding(mesh, P(None, axis))
     cores = jax.tree_util.tree_map(

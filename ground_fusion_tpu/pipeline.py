@@ -372,15 +372,29 @@ class Estimator:
         ``compensatedParallax2``, feature_manager.cpp:978-1012) reaches
         MIN_PARALLAX. Note this fork ships compensatedParallax2 with the
         rotation compensation commented out (``p_i_comp = p_i``,
-        feature_manager.cpp:998) — plain parallax is the faithful parity."""
+        feature_manager.cpp:998) — plain parallax is the faithful parity.
+
+        While burst staging is active the gate reads the NumPy mirrors
+        (``_mirror_obs_valid``/``_mirror_active``/``_mirror_obs_xy``) instead
+        of the device core: mid-chunk the device table is up to K-1 frames
+        stale and misaligned with the staged slides, and reading it would
+        re-add the per-frame device→host round-trip burst mode exists to
+        amortize."""
         tracked = [fid for fid in feats if fid in self._prev_feats]
         last_track_num = len(tracked)
         new_feature_num = len(feats) - last_track_num
         if last_track_num < 20 or new_feature_num > 0.5 * last_track_num:
             return True
 
-        tr = self.core.tracks
-        ov = np.asarray(tr.obs_valid)
+        if getattr(self, "_burst_chunk", 0) and getattr(self, "_mirror_synced", False):
+            ov = self._mirror_obs_valid
+            active = self._mirror_active
+            obs_xy = self._mirror_obs_xy
+        else:
+            tr = self.core.tracks
+            ov = np.asarray(tr.obs_valid)
+            active = np.asarray(tr.active)
+            obs_xy = np.asarray(tr.obs)[..., 0:2]
         obs_counts = ov.sum(axis=1)
         # long tracks: the incoming observation brings them to ≥4
         long_track_num = sum(
@@ -392,11 +406,10 @@ class Estimator:
 
         # mean parallax between the second- and third-last window frames
         i, j = self.f - 3, self.f - 2
-        both = ov[:, i] & ov[:, j] & np.asarray(tr.active)
+        both = ov[:, i] & ov[:, j] & active
         if not both.any():
             return True
-        obs = np.asarray(tr.obs)
-        d = obs[both, i, 0:2] - obs[both, j, 0:2]
+        d = obs_xy[both, i] - obs_xy[both, j]
         par = float(np.hypot(d[:, 0], d[:, 1]).mean())
         min_parallax = self.cfg.solver.keyframe_parallax_px / self.cfg.solver.focal
         return par >= min_parallax
@@ -459,11 +472,14 @@ class Estimator:
         self._burst_fn, _ = make_window_burst_ingest(self.cfg)
         self._burst_xs: list[dict] = []
         self._burst_meta: list[tuple[float, bool]] = []
+        self._burst_flushed_sizes: list[int] = []  # staging evidence/diagnostic
         self._mirror_synced = False
 
     def _sync_mirror(self) -> None:
         self._mirror_obs_valid = np.asarray(self.core.tracks.obs_valid).copy()
         self._mirror_active = np.asarray(self.core.tracks.active).copy()
+        # x,y columns only — feeds the host-side keyframe parallax gate
+        self._mirror_obs_xy = np.asarray(self.core.tracks.obs)[..., 0:2].copy()
         if self.cfg.use_line and self.core.lines is not None:
             self._mirror_line_obs_valid = np.asarray(self.core.lines.obs_valid).copy()
             self._mirror_line_active = np.asarray(self.core.lines.active).copy()
@@ -497,6 +513,7 @@ class Estimator:
             written.append(slot)
             vals.append([ft.x, ft.y, ft.vx, ft.vy, ft.depth])
             self._mirror_obs_valid[slot, sf] = True
+            self._mirror_obs_xy[slot, sf] = (ft.x, ft.y)
 
         n = len(written)
         rows = np.empty(ml, np.int32)
@@ -587,10 +604,12 @@ class Estimator:
             for ov in self._mirror_valids():
                 ov[:, f - 2] = ov[:, f - 1]
                 ov[:, f - 1] = False
+            self._mirror_obs_xy[:, f - 2] = self._mirror_obs_xy[:, f - 1]
         else:
             self.ts = self.ts[1:]
             self._mirror_obs_valid = np.roll(self._mirror_obs_valid, -1, axis=1)
             self._mirror_obs_valid[:, -1] = False
+            self._mirror_obs_xy = np.roll(self._mirror_obs_xy, -1, axis=1)
             if self.cfg.use_line:
                 self._mirror_line_obs_valid = np.roll(
                     self._mirror_line_obs_valid, -1, axis=1)
@@ -624,6 +643,7 @@ class Estimator:
         }
         core_new, outs = self._burst_fn(self.core, xs)
         self.core = core_new
+        self._burst_flushed_sizes.append(len(self._burst_meta))
         poses = np.asarray(outs["pose"])
         for k, (t, kf) in enumerate(self._burst_meta):
             self.trajectory.append((t, poses[k]))
