@@ -63,11 +63,20 @@ def l1_scores(db_hists: jax.Array, db_valid: jax.Array, query: jax.Array,
 
 
 class KeyframeDatabase:
-    """Fixed-capacity BoW database (host wrapper over device arrays) —
-    the DBoW2 ``db.query(..., 4, frame_index-50)`` + gate logic of
-    ``PoseGraph::detectLoop`` (pose_graph.cpp:432-512)."""
+    """Growable BoW database (host wrapper over device arrays) — the DBoW2
+    ``db.query(..., 4, frame_index-50)`` + gate logic of
+    ``PoseGraph::detectLoop`` (pose_graph.cpp:432-512).
 
-    def __init__(self, capacity: int = 2048, n_words: int = 4096,
+    Like the reference's DBoW2 database, it is unbounded: ``capacity`` is
+    only the initial allocation and the device arrays double (amortized
+    O(1) per add, O(log N) XLA recompiles of :func:`l1_scores`) when full.
+    Each slot records the KEYFRAME index it holds, so ``query`` gates the
+    ``min_gap`` window and returns candidates by keyframe index — slot
+    numbering never leaks to callers. Memory: [N, n_words] f32 histograms
+    (≈16 MB per 1000 keyframes at W=4096) — the dense table is what makes
+    the whole-database query one [N, W] reduce on the VPU."""
+
+    def __init__(self, capacity: int = 512, n_words: int = 4096,
                  score_best: float = 0.05, score_min: float = 0.015,
                  min_gap: int = 50):
         self.capacity = capacity
@@ -77,6 +86,7 @@ class KeyframeDatabase:
         self.min_gap = min_gap
         self.hists = jnp.zeros((capacity, n_words), jnp.float32)
         self.valid = jnp.zeros((capacity,), bool)
+        self.kf_idx = np.full(capacity, -1, np.int64)
         self.doc_freq = np.zeros(n_words, np.float64)
         self.count = 0
 
@@ -87,25 +97,40 @@ class KeyframeDatabase:
             jnp.float32,
         )
 
-    def add(self, hist: jax.Array) -> int:
-        i = self.count % self.capacity
+    def _grow(self) -> None:
+        """Double the device tables (the unbounded-database growth path)."""
+        self.hists = jnp.concatenate([self.hists, jnp.zeros_like(self.hists)])
+        self.valid = jnp.concatenate(
+            [self.valid, jnp.zeros((self.capacity,), bool)])
+        self.kf_idx = np.concatenate(
+            [self.kf_idx, np.full(self.capacity, -1, np.int64)])
+        self.capacity *= 2
+
+    def add(self, hist: jax.Array, kf_index: int | None = None) -> int:
+        """Register a keyframe histogram under ``kf_index`` (defaults to the
+        insertion count — correct when every keyframe is added in order).
+        Returns the storage slot."""
+        if self.count == self.capacity:
+            self._grow()
+        i = self.count
         self.hists = self.hists.at[i].set(hist)
         self.valid = self.valid.at[i].set(True)
+        self.kf_idx[i] = self.count if kf_index is None else int(kf_index)
         self.doc_freq += np.asarray(hist > 0, np.float64)
         self.count += 1
         return i
 
     def query(self, hist: jax.Array, cur_index: int):
-        """Earliest candidate passing the two-threshold gate, or -1
-        (pose_graph.cpp:476-508: best score > 0.05, candidates > 0.015,
-        skip the last ``min_gap`` keyframes, earliest index wins)."""
+        """Earliest candidate KEYFRAME INDEX passing the two-threshold gate,
+        or -1 (pose_graph.cpp:476-508: best score > 0.05, candidates > 0.015,
+        skip keyframes within ``min_gap`` of ``cur_index``, earliest wins)."""
         if self.count == 0:
             return -1
         scores = np.asarray(l1_scores(self.hists, self.valid, hist, self.idf()))
-        recent = np.arange(self.capacity) > cur_index - self.min_gap
-        scores_g = np.where(recent[: len(scores)], 0.0, scores)
+        recent = self.kf_idx > cur_index - self.min_gap
+        scores_g = np.where(recent, 0.0, scores)
         top4 = np.argsort(-scores_g)[:4]                 # DBoW2 query(..., 4)
         if scores_g[top4[0]] <= self.score_best:
             return -1
-        cands = [int(i) for i in top4 if scores_g[i] > self.score_min]
+        cands = [int(self.kf_idx[i]) for i in top4 if scores_g[i] > self.score_min]
         return min(cands) if cands else -1
