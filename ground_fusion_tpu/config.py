@@ -196,6 +196,10 @@ class MapConfig:
     depth_boundary: int = 20
     max_points_per_kf: int = 8192
     density_gate: int = 3             # getVoxelDensityAtPoint < 3 (pose_graph.cpp:191-244)
+    # world-z insertion gate: skip points above/below (ground-robot ceiling/
+    # floor cull, pose_graph.cpp:201-202: z > 2 || z < -0.5)
+    z_min: float = -0.5
+    z_max: float = 2.0
     # TSDF surface meshing (the offline Poisson-mesh analog, meshing.py)
     mesh: bool = False
     mesh_resolution: int = 128

@@ -80,6 +80,14 @@ class VoxelColorMap:
             self.voxel_size, self.capacity,
         )
 
+    def clear(self) -> None:
+        """Drop all accumulated voxels — the rebuild-after-loop reset
+        (``updatePath``'s ``octree->deleteTree(); cloud->clear()``,
+        pose_graph.cpp:875-930)."""
+        self.counts = jnp.zeros_like(self.counts)
+        self.color_sum = jnp.zeros_like(self.color_sum)
+        self.pos_sum = jnp.zeros_like(self.pos_sum)
+
     def export(self, min_count: int = 3):
         """Occupied voxels passing the density gate → (centers [M,3],
         colors [M,3]) — the radius-outlier analog (pose_graph.cpp:228-239)."""
