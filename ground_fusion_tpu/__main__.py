@@ -31,7 +31,14 @@ def main(argv=None):
         return 2
     cfg_path, seq_dir = argv[0], argv[1]
     out_dir = argv[2] if len(argv) > 2 else "output"
+    run(cfg_path, seq_dir, out_dir, burst=burst)
+    return 0
 
+
+def run(cfg_path: str, seq_dir: str, out_dir: str = "output", burst: int = 0):
+    """The CLI replay loop; returns the finished :class:`GroundFusionSystem`
+    (tests assert on estimator internals — e.g. active GNSS factor tables —
+    after a converted-bag replay)."""
     from .config import load_yaml
     from .io.dataset import Sequence, load_image
     from .system import GroundFusionSystem
@@ -43,6 +50,10 @@ def main(argv=None):
         cfg = dataclasses.replace(cfg, burst_chunk=burst)
     seq = Sequence.load(seq_dir)
     sys_ = GroundFusionSystem(cfg, out_dir)
+    if seq.iono is not None and sys_.estimator.gnss is not None:
+        # broadcast Klobuchar parameters (inputIonoParams,
+        # rosNodeTest.cpp:203-210) — converted bags carry them in iono.csv
+        sys_.estimator.gnss.iono_paras = list(seq.iono)
 
     imu_i = wheel_i = gnss_i = gps_i = 0
     for k, frame in enumerate(seq.frames):
@@ -74,12 +85,18 @@ def main(argv=None):
                 epoch = []
                 while gnss_i < len(seq.gnss) and seq.gnss[gnss_i, 0] == t_ep:
                     r = seq.gnss[gnss_i]
-                    epoch.append(dict(
+                    o = dict(
                         sat=int(r[1]), sys=int(r[2]), psr=r[3], dopp_wl=r[4],
+                        dopp=r[4],    # SPP/alignment key: doppler×wavelength
                         psr_std=r[5], dopp_std=r[6], sat_pos=r[7:10].copy(),
                         sat_vel=r[10:13].copy(), svdt=r[13], svddt=r[14],
                         tgd=r[15],
-                    ))
+                    )
+                    if len(r) > 16:
+                        o["ura"] = r[16]
+                    if len(r) > 17:
+                        o["tow"] = r[17]
+                    epoch.append(o)
                     gnss_i += 1
                 sys_.input_gnss(t_ep, epoch)
         img = load_image(img_path)
@@ -102,7 +119,7 @@ def main(argv=None):
                 np.interp(est[:, 0], seq.gt[:, 0], seq.gt[:, i]) for i in (1, 2, 3)
             ], -1)
             print(f"ATE RMSE vs gt: {ate_rmse(est[:, 1:4], gt_interp):.4f} m")
-    return 0
+    return sys_
 
 
 if __name__ == "__main__":

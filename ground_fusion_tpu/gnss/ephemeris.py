@@ -64,14 +64,32 @@ def eph2pos(t: float, eph: dict):
     i = eph["i0"] + eph["idot"] * tk + di
     x_op = r * np.cos(u)
     y_op = r * np.sin(u)
-    OMG = eph["OMG0"] + (eph["OMGd"] - omge) * tk - omge * eph["toe"]
-    sO, cO = np.sin(OMG), np.cos(OMG)
     si, ci = np.sin(i), np.cos(i)
-    pos = np.array([
-        x_op * cO - y_op * ci * sO,
-        x_op * sO + y_op * ci * cO,
-        y_op * si,
-    ])
+    if sys == "BDS" and eph.get("geo", False):
+        # BeiDou GEO satellites broadcast in a frame rotated −5° about x and
+        # without the earth-rotation rate folded into Ω (RTKLIB eph2pos /
+        # gnss_comm: compute in the inertial-ish frame, then apply
+        # Rz(ω_e·tk)·Rx(−5°))
+        OMG = eph["OMG0"] + eph["OMGd"] * tk - omge * eph["toe"]
+        sO, cO = np.sin(OMG), np.cos(OMG)
+        xg = x_op * cO - y_op * ci * sO
+        yg = x_op * sO + y_op * ci * cO
+        zg = y_op * si
+        so, co = np.sin(omge * tk), np.cos(omge * tk)
+        s5, c5 = np.sin(np.deg2rad(-5.0)), np.cos(np.deg2rad(-5.0))
+        pos = np.array([
+            xg * co + yg * so * c5 + zg * so * s5,
+            -xg * so + yg * co * c5 + zg * co * s5,
+            -yg * s5 + zg * c5,
+        ])
+    else:
+        OMG = eph["OMG0"] + (eph["OMGd"] - omge) * tk - omge * eph["toe"]
+        sO, cO = np.sin(OMG), np.cos(OMG)
+        pos = np.array([
+            x_op * cO - y_op * ci * sO,
+            x_op * sO + y_op * ci * cO,
+            y_op * si,
+        ])
     # clock with relativistic correction
     dts = eph2svdt(t, eph) + F_RELATIVITY * eph["e"] * eph["sqrtA"] * sinE
     return pos, dts

@@ -12,6 +12,8 @@ directory layout any bag can be converted to offline (see
       frames.csv  t, image_path[, depth_path[, right_image_path]]
       gnss.csv    (optional) t, sat, sys, psr, dopp_wl, psr_std, dopp_std,
                   sat_x, sat_y, sat_z, vel_x, vel_y, vel_z, svdt, svddt, tgd
+                  [, ura, tow]   (trailing columns optional)
+      iono.csv    (optional) 8 Klobuchar broadcast parameters, one line
       gt.csv      (optional) TUM format ground truth
 
 Images are .npy or .png (loaded with matplotlib-free PNG reader for
@@ -102,6 +104,7 @@ class Sequence:
     gnss: Optional[np.ndarray]
     gt: Optional[np.ndarray]        # TUM [K,8]
     gps: Optional[np.ndarray] = None  # [K,5] t, lat, lon, alt, acc (NavSatFix)
+    iono: Optional[np.ndarray] = None  # [8] Klobuchar broadcast parameters
 
     @staticmethod
     def load(root: str) -> "Sequence":
@@ -126,8 +129,10 @@ class Sequence:
                     frames.append((t, img, dep))
         gt_p = os.path.join(root, "gt.csv")
         gt = np.loadtxt(gt_p) if os.path.exists(gt_p) else None
+        iono = maybe("iono.csv")
         return Sequence(root, imu, maybe("wheel.csv"), frames, maybe("gnss.csv"),
-                        gt, gps=maybe("gps.csv"))
+                        gt, gps=maybe("gps.csv"),
+                        iono=iono.reshape(-1) if iono is not None else None)
 
 
 def replay(seq: Sequence, estimator, tracker=None, max_frames: Optional[int] = None):
