@@ -1,11 +1,20 @@
 """CLI entry: run the full system on a converted sequence directory.
 
-    python -m ground_fusion_tpu <config.yaml> <sequence_dir> [out_dir] [--burst K]
+    python -m ground_fusion_tpu <config.yaml> <sequence_dir> [out_dir]
+        [--burst K] [--save-state] [--resume vio_state.npz]
+        [--load-graph pose_graph.npz] [--load-grid grid.pgm]
 
 The ``rosrun vins vins_node config.yaml`` + ``rosbag play`` analog
 (README.md:146-161) for the file-driven dataset layout of
 :mod:`ground_fusion_tpu.io.dataset`. ``--burst K`` solves K frames per device
-dispatch (replay acceleration; see ``Config.burst_chunk``)."""
+dispatch (replay acceleration; see ``Config.burst_chunk``).
+
+Checkpointing: ``--save-state`` writes ``vio_state.npz`` + ``pose_graph.npz``
+into the output directory at finish (the 's'-key save of
+pose_graph.cpp:1062-1126); ``--resume`` restores a VIO snapshot,
+``--load-graph`` a prior pose graph for relocalization
+(``load_previous_pose_graph``), ``--load-grid`` a prior occupancy PGM
+(pose_graph_node.cpp:861-901)."""
 
 from __future__ import annotations
 
@@ -15,6 +24,7 @@ import sys
 def main(argv=None):
     argv = list(argv if argv is not None else sys.argv[1:])
     burst = 0
+    opts = {}
     if "--burst" in argv:
         i = argv.index("--burst")
         if i + 1 >= len(argv):
@@ -26,16 +36,30 @@ def main(argv=None):
             print(__doc__)
             return 2
         del argv[i : i + 2]
+    save_state = "--save-state" in argv
+    if save_state:
+        argv.remove("--save-state")
+    for flag, key in (("--resume", "resume"), ("--load-graph", "load_graph"),
+                      ("--load-grid", "load_grid")):
+        if flag in argv:
+            i = argv.index(flag)
+            if i + 1 >= len(argv):
+                print(__doc__)
+                return 2
+            opts[key] = argv[i + 1]
+            del argv[i : i + 2]
     if len(argv) < 2:
         print(__doc__)
         return 2
     cfg_path, seq_dir = argv[0], argv[1]
     out_dir = argv[2] if len(argv) > 2 else "output"
-    run(cfg_path, seq_dir, out_dir, burst=burst)
+    run(cfg_path, seq_dir, out_dir, burst=burst, save_state=save_state, **opts)
     return 0
 
 
-def run(cfg_path: str, seq_dir: str, out_dir: str = "output", burst: int = 0):
+def run(cfg_path: str, seq_dir: str, out_dir: str = "output", burst: int = 0,
+        save_state: bool = False, resume: str | None = None,
+        load_graph: str | None = None, load_grid: str | None = None):
     """The CLI replay loop; returns the finished :class:`GroundFusionSystem`
     (tests assert on estimator internals — e.g. active GNSS factor tables —
     after a converted-bag replay)."""
@@ -50,6 +74,9 @@ def run(cfg_path: str, seq_dir: str, out_dir: str = "output", burst: int = 0):
         cfg = dataclasses.replace(cfg, burst_chunk=burst)
     seq = Sequence.load(seq_dir)
     sys_ = GroundFusionSystem(cfg, out_dir)
+    if resume or load_graph or load_grid:
+        sys_.load_checkpoint(graph_path=load_graph, state_path=resume,
+                             grid_path=load_grid)
     if seq.iono is not None and sys_.estimator.gnss is not None:
         # broadcast Klobuchar parameters (inputIonoParams,
         # rosNodeTest.cpp:203-210) — converted bags carry them in iono.csv
@@ -106,7 +133,7 @@ def run(cfg_path: str, seq_dir: str, out_dir: str = "output", burst: int = 0):
         if pose is not None and k % 10 == 0:
             print(f"frame {k}/{len(seq.frames)}  t={t:.2f}  "
                   f"p=[{pose[0]:.2f},{pose[1]:.2f},{pose[2]:.2f}]")
-    out = sys_.finish()
+    out = sys_.finish(save_state=save_state)
     print(f"trajectory written to {out}")
     if seq.gt is not None:
         import numpy as np

@@ -169,3 +169,25 @@ class OccupancyGrid2D:
         with open(path, "wb") as fp:
             fp.write(f"P5\n{self.n} {self.n}\n255\n".encode())
             fp.write(img.tobytes())
+
+    @classmethod
+    def load_pgm(cls, path: str, resolution: float = 0.05, **kw):
+        """Rebuild a grid from a saved PGM — the prior-occupancy-map load of
+        the dense-map node (pose_graph_node.cpp:861-901: reads an
+        offline-built grid image and republishes it as the prior map).
+        Probabilities are recovered from the 8-bit image and clamped to the
+        log-odds bounds, so save→load round-trips to quantization."""
+        with open(path, "rb") as fp:
+            assert fp.readline().strip() == b"P5", "not a binary PGM"
+            dims = fp.readline().split()
+            while dims and dims[0].startswith(b"#"):
+                dims = fp.readline().split()
+            w, h = int(dims[0]), int(dims[1])
+            fp.readline()               # maxval
+            img = np.frombuffer(fp.read(w * h), np.uint8).reshape(h, w)
+        assert w == h, "occupancy grids are square"
+        grid = cls(size_m=w * resolution, resolution=resolution, **kw)
+        p = np.clip(1.0 - img.astype(np.float64) / 255.0, 1e-4, 1 - 1e-4)
+        lo = np.clip(np.log(p / (1.0 - p)), grid.l_min, grid.l_max)
+        grid.logodds = jnp.asarray(lo, jnp.float32)
+        return grid

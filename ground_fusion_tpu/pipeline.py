@@ -968,6 +968,86 @@ class Estimator:
             self._burst_xs, self._burst_meta = [], []
         self.reboots = getattr(self, "reboots", 0) + 1
 
+    # -------------------------------------------------------- checkpointing
+
+    def save_state(self, path: str) -> None:
+        """Snapshot the full estimator — device core + the host bookkeeping
+        (slot maps, window timestamps, mode) — so a later process resumes
+        mid-sequence instead of cold re-initializing (SURVEY §5: the
+        reference's VIO state dies with the process; this is the
+        checkpointed-window extension). Call :meth:`flush_burst` first in
+        burst mode (``GroundFusionSystem.finish`` does)."""
+        from .utils.checkpoint import _flatten
+
+        out: dict = {}
+        _flatten(self.core, "core.", out)
+        out.update(
+            solver_flag=np.int64(self.solver_flag),
+            frame_count=np.int64(self.frame_count),
+            ts=np.asarray(self.ts, np.float64),
+            slot_keys=np.asarray(list(self.slot_of.keys()), np.int64),
+            slot_vals=np.asarray(list(self.slot_of.values()), np.int64),
+            free_slots=np.asarray(self.free_slots, np.int64),
+            line_slot_keys=np.asarray(list(self.line_slot_of.keys()), np.int64),
+            line_slot_vals=np.asarray(list(self.line_slot_of.values()), np.int64),
+            free_line_slots=np.asarray(self.free_line_slots, np.int64),
+            gnss_aligned=np.bool_(self.gnss_aligned),
+            traj_t=np.asarray([t for t, _ in self.trajectory], np.float64),
+            traj_p=(np.stack([p for _, p in self.trajectory])
+                    if self.trajectory else np.zeros((0, 7))),
+            keyframe_flags=np.asarray(self.keyframe_flags, bool),
+        )
+        if self.gnss is not None:
+            out["gnss_track_keys"] = np.asarray(
+                list(self.gnss.track_count.keys()), np.int64)
+            out["gnss_track_vals"] = np.asarray(
+                list(self.gnss.track_count.values()), np.int64)
+        np.savez_compressed(path, **out)
+
+    def load_state(self, path: str) -> None:
+        """Restore a :meth:`save_state` snapshot. The first frame after a
+        resume is forced to be a keyframe (the tracker's feature-id ↔ slot
+        continuity is re-established from the restored slot map, but the
+        previous frame's feature set is not persisted). The config must
+        match the one that saved (same table shapes / enabled blocks)."""
+        data = np.load(path)
+        core_data = {k[len("core."):]: v for k, v in data.items()
+                     if k.startswith("core.")}
+
+        import jax.numpy as jnp2
+
+        def rebuild(tmpl, prefix):
+            if hasattr(tmpl, "_fields"):
+                return type(tmpl)(*[
+                    rebuild(getattr(tmpl, n), f"{prefix}{n}.")
+                    for n in tmpl._fields])
+            if tmpl is None:
+                return None
+            return jnp2.asarray(core_data[prefix[:-1]],
+                                jnp2.asarray(tmpl).dtype)
+
+        self.core = rebuild(self.core, "")
+        self.solver_flag = int(data["solver_flag"])
+        self.frame_count = int(data["frame_count"])
+        self.ts = [float(t) for t in data["ts"]]
+        self.slot_of = {int(k): int(v) for k, v in
+                        zip(data["slot_keys"], data["slot_vals"])}
+        self.free_slots = [int(s) for s in data["free_slots"]]
+        self.line_slot_of = {int(k): int(v) for k, v in
+                             zip(data["line_slot_keys"], data["line_slot_vals"])}
+        self.free_line_slots = [int(s) for s in data["free_line_slots"]]
+        self.gnss_aligned = bool(data["gnss_aligned"])
+        self.trajectory = [(float(t), p) for t, p in
+                           zip(data["traj_t"], data["traj_p"])]
+        self.keyframe_flags = [bool(b) for b in data["keyframe_flags"]]
+        if self.gnss is not None and "gnss_track_keys" in data:
+            self.gnss.track_count = {int(k): int(v) for k, v in
+                                     zip(data["gnss_track_keys"],
+                                         data["gnss_track_vals"])}
+        self._prev_feats = {}
+        self._fp = None
+        self._mirror_synced = False
+
     def _attach_gnss_epoch(self):
         """Gate + store the pending epoch into the window table at its
         bracketing-frame slot. The reference interpolates the state between

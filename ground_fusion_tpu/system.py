@@ -418,13 +418,54 @@ class GroundFusionSystem:
                 pts_w = pose_apply(cam_pose, jnp.asarray(pts_cam))
                 self.voxel_map.insert(pts_w, jnp.asarray(rgb), jnp.asarray(ok))
 
+    # --------------------------------------------------------- checkpointing
+
+    def save_checkpoint(self, dir_: Optional[str] = None) -> None:
+        """Write the estimator snapshot + pose graph (the 's'-key save of
+        pose_graph.cpp:1062-1126, plus the VIO window state the reference
+        cannot persist). Files: ``vio_state.npz``, ``pose_graph.npz``."""
+        from .utils.checkpoint import save_pose_graph
+
+        d = dir_ or self.out_dir
+        os.makedirs(d, exist_ok=True)
+        if self._burst:
+            self.estimator.flush_burst()
+        self.estimator.save_state(os.path.join(d, "vio_state.npz"))
+        if self.pose_graph is not None:
+            save_pose_graph(os.path.join(d, "pose_graph.npz"), self.pose_graph)
+
+    def load_checkpoint(self, graph_path: Optional[str] = None,
+                        state_path: Optional[str] = None,
+                        grid_path: Optional[str] = None) -> None:
+        """Resume from saved artifacts: a prior pose graph (relocalization
+        against loaded keyframes — ``load_previous_pose_graph``,
+        pose_graph.cpp:1127-1267), a VIO state snapshot, and/or a prior
+        occupancy grid (pose_graph_node.cpp:861-901)."""
+        if graph_path is not None:
+            from .utils.checkpoint import load_pose_graph
+
+            if self.pose_graph is None:
+                raise ValueError("loop closure disabled: enable cfg.loop "
+                                 "to load a prior pose graph")
+            load_pose_graph(graph_path, self.pose_graph)
+            self._kf_index = (max((k.index for k in self.pose_graph.kfs),
+                                  default=-1) + 1)
+        if state_path is not None:
+            self.estimator.load_state(state_path)
+        if grid_path is not None:
+            from .global_layers.dense_map import OccupancyGrid2D
+
+            self.prior_grid = OccupancyGrid2D.load_pgm(grid_path)
+
     # --------------------------------------------------------------- output
 
-    def finish(self):
+    def finish(self, save_state: bool = False):
         est = self.estimator
         if self._burst:
             est.flush_burst()
             self._drain_burst_hooks()
+        if save_state:
+            self.save_checkpoint()
         est.write_tum(os.path.join(self.out_dir, "vio.txt"))
         if self.pose_graph is not None:
             self.pose_graph.write_tum(os.path.join(self.out_dir, "loop.txt"))

@@ -59,10 +59,15 @@ def save_pose_graph(path: str, pg) -> None:
         "loop_edges_t": (np.stack([e[2] for e in pg.loop_edges])
                          if pg.loop_edges else np.zeros((0, 3))),
         "loop_edges_yaw": np.asarray([e[3] for e in pg.loop_edges]),
+        "loop_edges_q": (np.stack([
+            np.asarray(e[4]) if len(e) > 4 else np.array([1.0, 0, 0, 0])
+            for e in pg.loop_edges]) if pg.loop_edges else np.zeros((0, 4))),
     }
     for k, kf in enumerate(pg.kfs):
         for field in kf._fields:
             v = getattr(kf, field)
+            if v is None:           # vio_pose unset → fall back to pose
+                v = kf.pose
             if isinstance(v, (int, float)):
                 v = np.asarray(v)
             out[f"kf{k}.{field}"] = v
@@ -70,8 +75,9 @@ def save_pose_graph(path: str, pg) -> None:
 
 
 def load_pose_graph(path: str, pg) -> None:
-    """Restore into an existing PoseGraph (re-registers BoW entries so loop
-    detection continues across sessions, pose_graph.cpp:1127-1267)."""
+    """Restore into an existing PoseGraph (re-registers BoW entries under the
+    original keyframe indices so loop detection continues across sessions,
+    pose_graph.cpp:1127-1267 ``load_previous_pose_graph``)."""
     import jax.numpy as jnp
 
     from ..global_layers.bow import bow_histogram, words_of
@@ -83,7 +89,10 @@ def load_pose_graph(path: str, pg) -> None:
     for k in range(n):
         fields = {}
         for field in Keyframe._fields:
-            v = data[f"kf{k}.{field}"]
+            key = f"kf{k}.{field}"
+            if key not in data:
+                continue            # fields added after the save: use default
+            v = data[key]
             if field in ("index",):
                 v = int(v)
             elif field in ("t",):
@@ -93,13 +102,16 @@ def load_pose_graph(path: str, pg) -> None:
         pg.kfs.append(kf)
         hist = bow_histogram(words_of(jnp.asarray(kf.desc), jnp.asarray(kf.kp_ok),
                                       pg.sel))
-        pg.db.add(hist)
+        pg.db.add(hist, kf_index=kf.index)
     pg.r_drift = data["r_drift"]
     pg.t_drift = data["t_drift"]
     el = int(data["earliest_loop"])
     pg.earliest_loop = el if el >= 0 else None
+    q = data["loop_edges_q"] if "loop_edges_q" in data else \
+        np.tile(np.array([1.0, 0, 0, 0]), (len(data["loop_edges_i"]), 1))
     pg.loop_edges = [
-        (int(i), int(j), t, float(y))
-        for i, j, t, y in zip(data["loop_edges_i"], data["loop_edges_j"],
-                              data["loop_edges_t"], data["loop_edges_yaw"])
+        (int(i), int(j), t, float(y), qq)
+        for i, j, t, y, qq in zip(data["loop_edges_i"], data["loop_edges_j"],
+                                  data["loop_edges_t"], data["loop_edges_yaw"],
+                                  q)
     ]
