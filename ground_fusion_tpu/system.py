@@ -127,9 +127,29 @@ class GroundFusionSystem:
 
     def input_imu(self, t, acc, gyr):
         self.estimator.input_imu(t, acc, gyr)
+        # pure-IMU dead-reckoning diagnostic at sensor rate
+        # (fastPredictPureIMU → pure_imu_propagate, estimator.cpp:4032-4076);
+        # biases refresh once per solved frame (_refresh_dr_bias)
+        self.dead_reckoning.push_imu(
+            t, acc, gyr, ba=getattr(self, "_dr_ba", None),
+            bg=getattr(self, "_dr_bg", None), g_norm=self.cfg.imu.g_norm)
 
     def input_wheel(self, t, vel, gyr):
         self.estimator.input_wheel(t, vel, gyr)
+        self.dead_reckoning.push_wheel(
+            t, vel, gyr,
+            scales=getattr(self, "_dr_sw",
+                           (self.cfg.wheel.sx, self.cfg.wheel.sy,
+                            self.cfg.wheel.sw)))
+
+    def _refresh_dr_bias(self):
+        """Latest solved biases + wheel intrinsics for the dead-reckoning
+        paths (one device readback per solved frame, not per sample)."""
+        st = self.estimator.core.state
+        sb = np.asarray(st.sbs[self.estimator.f - 1])
+        self._dr_ba, self._dr_bg = sb[3:6], sb[6:9]
+        s = np.asarray(st.s_wheel)
+        self._dr_sw = (float(s[0]), float(s[1]), float(s[2]))
 
     def input_gnss(self, t, obs):
         self.estimator.input_gnss(t, obs)
@@ -185,6 +205,7 @@ class GroundFusionSystem:
 
         if pose is not None:
             self.calib_dump.append(t, self.estimator.core.state)
+            self._refresh_dr_bias()
             if self.global_fusion is not None:
                 self.global_fusion.input_odom(t, pose)
             self._loop_and_map(t, img, depth, pose,
@@ -238,6 +259,8 @@ class GroundFusionSystem:
         the post-chunk core — the same data, read once per flush instead of
         once per frame."""
         est = self.estimator
+        if self._consumed < len(est.trajectory):
+            self._refresh_dr_bias()
         while self._consumed < len(est.trajectory):
             t_k, pose_k = est.trajectory[self._consumed]
             kf = est.keyframe_flags[self._consumed]

@@ -45,44 +45,102 @@ class CalibrationDump:
 class DeadReckoningPaths:
     """Pure-IMU and pure-wheel propagation tracks for debugging
     (``pure_imu_propagate`` / ``pure_wheel_propagate`` topics,
-    fastPredictPureIMU estimator.cpp:4032-4093)."""
+    fastPredictPureIMU / fastPredictWheel, estimator.cpp:4032-4093).
+
+    Fed at SENSOR rate via :meth:`push_imu` / :meth:`push_wheel` (the
+    ``inputIMU``/``inputWheel`` hook, visualization.cpp:58-68) — all math is
+    host numpy (:mod:`.np_quat`), zero device dispatches per sample."""
 
     def __init__(self):
         self.imu_path: list[tuple[float, np.ndarray]] = []
         self.wheel_path: list[tuple[float, np.ndarray]] = []
         self._imu_state = None   # (p, q, v)
         self._wheel_state = None  # (p, q)
+        self._imu_prev = None    # (t, acc, gyr)
+        self._wheel_prev = None  # (t, vel, gyr)
+
+    # ------------------------------------------------------ sensor-rate feed
+
+    def push_imu(self, t, acc, gyr, ba=None, bg=None, g_norm=9.81,
+                 seed_pose=None):
+        """One raw IMU sample; midpoint-integrates from the previous one.
+        ``seed_pose`` ([7] or (p,q,v)) initializes the track at the current
+        odometry like the reference's first-sample latch
+        (estimator.cpp:4042-4052)."""
+        if self._imu_prev is None:
+            if seed_pose is not None and self._imu_state is None:
+                p0, q0, v0 = seed_pose
+                self._imu_state = (np.asarray(p0, float).copy(),
+                                   np.asarray(q0, float).copy(),
+                                   np.asarray(v0, float).copy())
+            self._imu_prev = (t, np.asarray(acc, float), np.asarray(gyr, float))
+            return
+        t0, acc0, gyr0 = self._imu_prev
+        dt = t - t0
+        self._imu_prev = (t, np.asarray(acc, float), np.asarray(gyr, float))
+        if dt <= 0 or dt > 1.0:
+            return
+        self.propagate_imu(t, dt, acc0, gyr0, np.asarray(acc, float),
+                           np.asarray(gyr, float),
+                           np.zeros(3) if ba is None else np.asarray(ba, float),
+                           np.zeros(3) if bg is None else np.asarray(bg, float),
+                           g_norm)
+
+    def push_wheel(self, t, vel, gyr, scales=(1.0, 1.0, 1.0)):
+        """One raw wheel sample (body-frame velocity + gyro); ``scales`` =
+        (sx, sy, sw) wheel intrinsics (fastPredictWheel,
+        estimator.cpp:4079-4093)."""
+        if self._wheel_prev is None:
+            self._wheel_prev = (t, np.asarray(vel, float), np.asarray(gyr, float))
+            return
+        t0, vel0, gyr0 = self._wheel_prev
+        dt = t - t0
+        self._wheel_prev = (t, np.asarray(vel, float), np.asarray(gyr, float))
+        if dt <= 0 or dt > 1.0:
+            return
+        self.propagate_wheel(t, dt, np.asarray(vel, float),
+                             np.asarray(gyr, float), vel0, gyr0, scales)
+
+    # ----------------------------------------------------------- integrators
 
     def propagate_imu(self, t, dt, acc0, gyr0, acc1, gyr1, ba, bg, g_norm):
-        from ..geometry.so3 import quat_mul, quat_normalize, quat_to_mat
+        from .np_quat import quat_mul, quat_normalize, quat_to_mat
 
         if self._imu_state is None:
             self._imu_state = (np.zeros(3), np.array([1.0, 0, 0, 0]), np.zeros(3))
         p, q, v = self._imu_state
         g = np.array([0.0, 0.0, g_norm])
-        R0 = np.asarray(quat_to_mat(np.asarray(q)))
-        un_acc0 = R0 @ (acc0 - ba) - g
+        un_acc0 = quat_to_mat(q) @ (acc0 - ba) - g
         un_gyr = 0.5 * (gyr0 + gyr1) - bg
-        dq = np.concatenate([[1.0], 0.5 * un_gyr * dt])
-        q = np.asarray(quat_normalize(quat_mul(np.asarray(q), np.asarray(dq))))
-        R1 = np.asarray(quat_to_mat(q))
-        un_acc1 = R1 @ (acc1 - ba) - g
+        q = quat_normalize(quat_mul(q, np.concatenate([[1.0], 0.5 * un_gyr * dt])))
+        un_acc1 = quat_to_mat(q) @ (acc1 - ba) - g
         un_acc = 0.5 * (un_acc0 + un_acc1)
         p = p + v * dt + 0.5 * un_acc * dt * dt
         v = v + un_acc * dt
         self._imu_state = (p, q, v)
         self.imu_path.append((t, np.concatenate([p, q])))
 
-    def propagate_wheel(self, t, dt, vel, gyr):
-        from ..geometry.so3 import quat_mul, quat_normalize, quat_to_mat
+    def propagate_wheel(self, t, dt, vel, gyr, vel0=None, gyr0=None,
+                        scales=(1.0, 1.0, 1.0)):
+        """Midpoint wheel propagation with intrinsic scales (sx, sy, sw)
+        (fastPredictWheel: un_gyr = ½·sw·(gyr0+gyr1), velocity rotated then
+        diag(sx,sy,1)-scaled)."""
+        from .np_quat import quat_mul, quat_normalize, quat_to_mat
 
         if self._wheel_state is None:
             self._wheel_state = (np.zeros(3), np.array([1.0, 0, 0, 0]))
         p, q = self._wheel_state
-        R = np.asarray(quat_to_mat(np.asarray(q)))
-        p = p + R @ (vel * dt)
-        dq = np.concatenate([[1.0], 0.5 * gyr * dt])
-        q = np.asarray(quat_normalize(quat_mul(np.asarray(q), np.asarray(dq))))
+        sx, sy, sw = scales
+        if vel0 is None:
+            vel0 = vel
+        if gyr0 is None:
+            gyr0 = gyr
+        un_vel0 = quat_to_mat(q) @ vel0
+        un_gyr = 0.5 * sw * (gyr0 + gyr)
+        q = quat_normalize(quat_mul(q, np.concatenate([[1.0], 0.5 * un_gyr * dt])))
+        sv = np.diag([sx, sy, 1.0])
+        v_mid = 0.5 * sv @ (quat_to_mat(q) @ vel + un_vel0)
+        p = p + v_mid * dt
         self._wheel_state = (p, q)
         self.wheel_path.append((t, np.concatenate([p, q])))
 

@@ -125,3 +125,57 @@ def test_wheel_odom_pose_buffer():
     assert seed is not None
     np.testing.assert_allclose(seed[0], [1.25, 0.0, 0.0], atol=1e-12)
     np.testing.assert_allclose(seed[1], np.eye(3), atol=1e-12)
+
+
+def test_dead_reckoning_paths_track_gt():
+    """Pure-IMU / pure-wheel dead reckoning on exact synthetic measurements
+    (fastPredictPureIMU / fastPredictWheel, estimator.cpp:4032-4093): seeded
+    at the true initial state, both tracks must follow the ground-truth
+    trajectory expressed in the frame-0 body frame."""
+    import jax.numpy as jnp
+
+    from ground_fusion_tpu.geometry.se3 import pose_apply, pose_inverse
+    from ground_fusion_tpu.sim.synthetic import (
+        SimParams, gt_pose7, gt_velocity, imu_sample, wheel_sample,
+    )
+    from ground_fusion_tpu.utils.outputs import DeadReckoningPaths
+
+    sp = SimParams()
+    dr = DeadReckoningPaths()
+    T0 = np.asarray(gt_pose7(0.0, sp))
+    T0_inv = np.asarray(pose_inverse(jnp.asarray(T0)))
+    v0 = np.asarray(gt_velocity(0.0, sp))
+
+    # the IMU track integrates in the gravity-aligned world (the estimator's
+    # world frame): seed at the true initial pose/velocity
+    # the sim IMU carries biases; the system feeds the latest solved biases
+    # the same way (_refresh_dr_bias)
+    for ti in np.arange(0.0, 2.0, 1.0 / sp.imu_rate):
+        a, g = np.asarray(imu_sample(float(ti), sp), np.float64)
+        dr.push_imu(float(ti), a, g, ba=np.asarray(sp.ba), bg=np.asarray(sp.bg),
+                    g_norm=sp.g_norm, seed_pose=(T0[0:3], T0[3:7], v0))
+    for ti in np.arange(0.0, 2.0, 1.0 / sp.wheel_rate):
+        v, w = np.asarray(wheel_sample(float(ti), sp), np.float64)
+        dr.push_wheel(float(ti), v, w)
+
+    assert len(dr.imu_path) > 300 and len(dr.wheel_path) > 100
+    t_end = dr.imu_path[-1][0]
+    p_gt = np.asarray(gt_pose7(t_end, sp))[0:3]
+    err_imu = np.linalg.norm(dr.imu_path[-1][1][0:3] - p_gt)
+    assert err_imu < 0.02, f"pure-IMU drifted {err_imu:.3f} m over 2 s"
+    t_end_w = dr.wheel_path[-1][0]
+    p_gt_w = np.asarray(pose_apply(jnp.asarray(T0_inv),
+                                   jnp.asarray(gt_pose7(t_end_w, sp))[0:3]))
+    err_w = np.linalg.norm(dr.wheel_path[-1][1][0:3] - p_gt_w)
+    assert err_w < 0.05, f"pure-wheel drifted {err_w:.3f} m over 2 s"
+
+    # TUM writers produce non-empty, well-formed rows
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        import os as _os
+
+        pi, pw = _os.path.join(d, "i.txt"), _os.path.join(d, "w.txt")
+        dr.write_tum(pi, pw)
+        rows = np.loadtxt(pi)
+        assert rows.shape[1] == 8 and len(rows) == len(dr.imu_path)

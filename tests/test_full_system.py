@@ -27,7 +27,8 @@ def test_cli_full_system(tmp_path):
                XLA_FLAGS="--xla_force_host_platform_device_count=8")
     subprocess.run([sys.executable, os.path.join(root, "scripts/make_synth_seq.py"),
                     seq, "35"], check=True, env=env, timeout=300)
-    r = subprocess.run([sys.executable, "-m", "ground_fusion_tpu", str(cfg), seq, out],
+    r = subprocess.run([sys.executable, "-m", "ground_fusion_tpu", str(cfg), seq, out,
+                        "--save-state"],
                        check=True, env=env, timeout=500, capture_output=True, text=True)
     assert "trajectory written" in r.stdout
     est = np.loadtxt(os.path.join(out, "vio.txt"))
@@ -40,6 +41,17 @@ def test_cli_full_system(tmp_path):
     assert ate < 0.1, f"full-system ATE {ate:.4f} m"
     assert os.path.exists(os.path.join(out, "timing.txt"))
     assert os.path.exists(os.path.join(out, "td.csv"))
+    # dead-reckoning diagnostic paths are fed at sensor rate
+    # (pure_imu_propagate/pure_wheel_propagate, visualization.cpp:58-68)
+    pure_imu = np.loadtxt(os.path.join(out, "pure_imu.txt"), ndmin=2)
+    pure_wheel = np.loadtxt(os.path.join(out, "pure_wheel.txt"), ndmin=2)
+    assert len(pure_imu) > 200 and pure_imu.shape[1] == 8
+    assert len(pure_wheel) > 100 and pure_wheel.shape[1] == 8
+    assert np.all(np.isfinite(pure_wheel))
+    # dead-reckoned wheel track actually moves along the trajectory
+    assert np.linalg.norm(pure_wheel[-1, 1:4] - pure_wheel[0, 1:4]) > 0.1
+    # --save-state wrote the resume snapshot
+    assert os.path.exists(os.path.join(out, "vio_state.npz"))
 
 
 @pytest.mark.slow
