@@ -83,6 +83,24 @@ def test_e2e_vio_wheel_ate():
     assert ate < 0.05, f"ATE {ate:.4f} m on exact measurements"
 
 
+def test_e2e_vio_wheel_smoke():
+    """Default-gate smoke of the slow VIO+wheel replay (VERDICT r3 weak #7:
+    one true end-to-end path per subsystem inside the fast suite): shorter
+    sequence, same correctness bound."""
+    est, gt = run_pipeline(n_frames=18, pix_noise=0.0)
+    assert len(est.trajectory) >= 5, "estimator never left initialization"
+    est_xyz = np.stack([p[0:3] for _, p in est.trajectory])
+    gt_xyz = np.stack([gt[t][0:3] for t, _ in est.trajectory])
+    ate = ate_rmse(est_xyz, gt_xyz)
+    assert ate < 0.05, f"smoke ATE {ate:.4f} m"
+
+
+def test_e2e_gnss_smoke():
+    """Default-gate smoke of the tight-GNSS replay: alignment + active
+    psr/dopp factors on a shortened sequence."""
+    _run_gnss_pipeline(n_frames=24, epoch_every=3)
+
+
 def _no_wheel_cfg(use_depth: bool):
     """No wheel + the stationary gate closed — forces init through the
     visual-SfM path (estimator.cpp:1712-1847), the reference's primary mode
@@ -152,7 +170,7 @@ def test_e2e_vio_wheel_ate_noisy():
     assert ate < 0.15, f"ATE {ate:.4f} m with 1.5px noise"
 
 
-def _run_gnss_pipeline(burst=0, epoch_every=1):
+def _run_gnss_pipeline(burst=0, epoch_every=1, n_frames=30):
     """GNSS-enabled E2E: synthetic satellites + pseudorange/Doppler epochs;
     the pipeline must align (yaw/anchor) and keep ATE low with the GNSS
     factor stack active. ``burst``: enable chunked replay (auto-flushes
@@ -246,7 +264,7 @@ def _run_gnss_pipeline(burst=0, epoch_every=1):
     est.input_wheel(t0, v, wg)
 
     gt = {}
-    for k in range(30):
+    for k in range(n_frames):
         t = t0 + k * frame_dt
         if k > 0:
             tp = t - frame_dt
@@ -274,7 +292,7 @@ def _run_gnss_pipeline(burst=0, epoch_every=1):
         est.flush_burst()
 
     assert est.gnss_aligned, "GNSS-VI alignment never triggered"
-    assert len(est.trajectory) >= 15
+    assert len(est.trajectory) >= min(15, n_frames - 14)
     est_xyz = np.stack([p[0:3] for _, p in est.trajectory])
     gt_xyz = np.stack([gt[t][0:3] for t, _ in est.trajectory])
     ate = ate_rmse(est_xyz, gt_xyz)
