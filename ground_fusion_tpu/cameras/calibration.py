@@ -172,34 +172,66 @@ def pose_from_homography(H: np.ndarray, K: np.ndarray) -> np.ndarray:
 
 
 class CalibResult(NamedTuple):
-    params: PinholeParams
+    params: object           # the calibrated model's params NamedTuple
     poses: np.ndarray        # [V, 7] board→camera
     rms_px: float
 
 
-def _pack_residual(world_pts, img_pts):
-    """Build the vmapped residual over (intrinsic 8-vec, per-view 6-vec)."""
+# intrinsic-vector ↔ model bindings: (n_intr, intr→params, project,
+# zhang-init→intr0). The reference tool selects the model by flag
+# (intrinsic_calib.cc --camera-model {pinhole|mei|kannala-brandt|...});
+# every refinement differentiates the SAME projection the runtime uses.
+def _model_bindings():
+    from .models import (
+        EquidistantParams,
+        MeiParams,
+        equidistant_space_to_plane,
+        mei_space_to_plane,
+    )
 
-    def residual(intr, pose_tangent, pose0, pts_w, pts_px):
-        fx, fy, cx, cy, k1, k2, p1, p2 = intr
-        cam = PinholeParams(fx=fx, fy=fy, cx=cx, cy=cy, k1=k1, k2=k2, p1=p1, p2=p2)
-        dq = quat_exp(pose_tangent[3:6])
-        q = quat_normalize(quat_mul(pose0[3:7], dq))
-        t = pose0[0:3] + pose_tangent[0:3]
-        pc = quat_rotate(q, pts_w) + t[None, :]
-        uv = pinhole_space_to_plane(cam, pc)
-        return (uv - pts_px).reshape(-1)
+    return {
+        "pinhole": (
+            8,
+            lambda i: PinholeParams(*i),
+            pinhole_space_to_plane,
+            lambda fx, fy, cx, cy: [fx, fy, cx, cy, 0.0, 0.0, 0.0, 0.0],
+        ),
+        # Kannala-Brandt fisheye: Zhang's pinhole estimate seeds (mu, mv);
+        # the theta-polynomial coefficients start at the ideal-equidistant 0
+        "equidistant": (
+            8,
+            lambda i: EquidistantParams(*i),
+            equidistant_space_to_plane,
+            lambda fx, fy, cx, cy: [fx, fy, cx, cy, 0.0, 0.0, 0.0, 0.0],
+        ),
+        # Mei catadioptric: camodocal's init convention fixes xi=1 and scales
+        # the projective focal to gamma = f·(1+xi) (CataCamera::
+        # estimateIntrinsics); LM then frees xi
+        "mei": (
+            9,
+            lambda i: MeiParams(*i),
+            mei_space_to_plane,
+            lambda fx, fy, cx, cy: [1.0, 2.0 * fx, 2.0 * fy, cx, cy,
+                                    0.0, 0.0, 0.0, 0.0],
+        ),
+    }
 
-    return residual
 
-
-def calibrate_pinhole(world_xy: np.ndarray, img_pts: list[np.ndarray],
-                      iters: int = 20) -> CalibResult:
-    """Full calibration from V views of a planar grid.
+def calibrate(model: str, world_xy: np.ndarray, img_pts: list[np.ndarray],
+              iters: int = 30) -> CalibResult:
+    """Full calibration of any supported model from V views of a planar grid.
 
     ``world_xy`` [N,2] board coords (z=0), ``img_pts`` list of [N,2] pixel
-    observations. Zhang init → GN over (fx,fy,cx,cy,k1,k2,p1,p2) + V·6 pose
-    tangents; Jacobians by ``jax.jacfwd`` of the runtime projection model."""
+    observations. Zhang closed-form init → LM over the model's intrinsic
+    vector + V·6 pose tangents; Jacobians by ``jax.jacfwd`` of the runtime
+    projection model (the autodiff twin of camodocal's per-model analytic
+    calibration, ``intrinsic_calib.cc``)."""
+    bindings = _model_bindings()
+    if model not in bindings:
+        raise ValueError(f"unsupported calibration model {model!r} "
+                         f"(have {sorted(bindings)})")
+    n_intr, make_params, project, init = bindings[model]
+
     V = len(img_pts)
     Hs = [homography_dlt(world_xy, p) for p in img_pts]
     fx, fy, cx, cy = zhang_intrinsics(Hs)
@@ -208,10 +240,17 @@ def calibrate_pinhole(world_xy: np.ndarray, img_pts: list[np.ndarray],
 
     pts_w = jnp.asarray(np.concatenate([world_xy, np.zeros((len(world_xy), 1))], 1))
     pts_px = jnp.asarray(np.stack(img_pts))           # [V,N,2]
-    intr = jnp.asarray([fx, fy, cx, cy, 0.0, 0.0, 0.0, 0.0])
+    intr = jnp.asarray(init(fx, fy, cx, cy))
     poses = jnp.asarray(poses0)
 
-    residual = _pack_residual(world_xy, img_pts)
+    def residual(intr, pose_tangent, pose0, pts_w, pts_px):
+        cam = make_params(intr)
+        dq = quat_exp(pose_tangent[3:6])
+        q = quat_normalize(quat_mul(pose0[3:7], dq))
+        t = pose0[0:3] + pose_tangent[0:3]
+        pc = quat_rotate(q, pts_w) + t[None, :]
+        uv = project(cam, pc)
+        return (uv - pts_px).reshape(-1)
 
     def all_res(intr, tangents, poses):
         r = jax.vmap(residual, in_axes=(None, 0, 0, None, 0))(
@@ -219,7 +258,7 @@ def calibrate_pinhole(world_xy: np.ndarray, img_pts: list[np.ndarray],
         return r.reshape(-1)
 
     @jax.jit
-    def gn_step(intr, poses):
+    def lm_step(intr, poses, lam):
         tang0 = jnp.zeros((V, 6), intr.dtype)
         r = all_res(intr, tang0, poses)
         Ji = jax.jacfwd(lambda i: all_res(i, tang0, poses))(intr)
@@ -227,10 +266,10 @@ def calibrate_pinhole(world_xy: np.ndarray, img_pts: list[np.ndarray],
         J = jnp.concatenate([Ji, Jt], axis=1)
         H = J.T @ J
         g = J.T @ r
-        lam = 1e-6 * jnp.diagonal(H) + 1e-9
-        delta = jnp.linalg.solve(H + jnp.diag(lam), -g)
-        intr2 = intr + delta[:8]
-        tang = delta[8:].reshape(V, 6)
+        damp = lam * jnp.diagonal(H) + 1e-9
+        delta = jnp.linalg.solve(H + jnp.diag(damp), -g)
+        intr2 = intr + delta[:n_intr]
+        tang = delta[n_intr:].reshape(V, 6)
         dq = jax.vmap(quat_exp)(tang[:, 3:6])
         q2 = jax.vmap(lambda q, d: quat_normalize(quat_mul(q, d)))(poses[:, 3:7], dq)
         poses2 = jnp.concatenate([poses[:, 0:3] + tang[:, 0:3], q2], axis=1)
@@ -239,18 +278,21 @@ def calibrate_pinhole(world_xy: np.ndarray, img_pts: list[np.ndarray],
         better = cost2 < cost1
         intr = jnp.where(better, intr2, intr)
         poses = jnp.where(better, poses2, poses)
-        return intr, poses
+        lam = jnp.where(better, lam * 0.5, lam * 4.0)     # LM trust control
+        return intr, poses, jnp.clip(lam, 1e-9, 1e3)
 
+    lam = jnp.asarray(1e-4)
     for _ in range(iters):
-        intr, poses = gn_step(intr, poses)
+        intr, poses, lam = lm_step(intr, poses, lam)
 
     r = all_res(intr, jnp.zeros((V, 6)), poses)
     rms = float(jnp.sqrt(jnp.mean(jnp.sum(r.reshape(-1, 2) ** 2, axis=-1))))
-    i = np.asarray(intr)
-    return CalibResult(
-        params=PinholeParams(fx=float(i[0]), fy=float(i[1]), cx=float(i[2]),
-                             cy=float(i[3]), k1=float(i[4]), k2=float(i[5]),
-                             p1=float(i[6]), p2=float(i[7])),
-        poses=np.asarray(poses),
-        rms_px=rms,
-    )
+    i = [float(v) for v in np.asarray(intr)]
+    return CalibResult(params=make_params(i), poses=np.asarray(poses),
+                       rms_px=rms)
+
+
+def calibrate_pinhole(world_xy: np.ndarray, img_pts: list[np.ndarray],
+                      iters: int = 20) -> CalibResult:
+    """Pinhole-model calibration (see :func:`calibrate`)."""
+    return calibrate("pinhole", world_xy, img_pts, iters=iters)
