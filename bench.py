@@ -227,6 +227,25 @@ def main() -> None:
         jax.block_until_ready((c, o))
         live_rounds.append(LIVE_ITERS / (time.perf_counter() - t0))
 
+    # --- live PACKED: the same step over 3 flat blobs instead of ~50 pytree
+    # leaves (make_window_step_packed) — per-leaf argument marshalling is
+    # most of the live dispatch, so packing recovers ~3-4× latency-mode
+    # throughput; equivalence asserted by tests/test_burst.py ---
+    from ground_fusion_tpu.estimator.step import make_window_step_packed
+
+    pstep, pack, _, _ = make_window_step_packed(cfg, core)
+    blobs = jax.jit(pack)(core)
+    pb, o = pstep(blobs, flags)
+    jax.block_until_ready((pb, o))
+    live_packed_rounds = []
+    for _ in range(ROUNDS):
+        b = blobs
+        t0 = time.perf_counter()
+        for _ in range(LIVE_ITERS):
+            b, o = pstep(b, flags)
+        jax.block_until_ready((b, o))
+        live_packed_rounds.append(LIVE_ITERS / (time.perf_counter() - t0))
+
     med = statistics.median(rounds)
     live_med = statistics.median(live_rounds)
     print(json.dumps({
@@ -238,6 +257,9 @@ def main() -> None:
         "spread": [round(min(rounds), 1), round(max(rounds), 1)],
         "live_steps_per_s": round(live_med, 2),
         "live_rounds": [round(r, 1) for r in live_rounds],
+        # packed-core latency mode (3 blobs across the dispatch boundary)
+        "live_packed_steps_per_s": round(statistics.median(live_packed_rounds), 2),
+        "live_packed_rounds": [round(r, 1) for r in live_packed_rounds],
         "fleet_steps_per_s": round(statistics.median(fleet_rounds), 2),
         "fleet_batch": B,
         "fleet_rounds": [round(r, 1) for r in fleet_rounds],

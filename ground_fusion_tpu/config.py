@@ -125,6 +125,9 @@ class SolverConfig:
     huber_delta: float = 1.0          # Cauchy/Huber robust loss threshold (in sigma)
     keyframe_parallax_px: float = 10.0
     min_track_for_solve: int = 4      # feature used_num >= 4 (feature_manager semantics)
+    # failureDetection bias-norm thresholds (estimator.cpp:2852-2862)
+    fail_ba_thresh: float = 2.5
+    fail_bg_thresh: float = 1.0
     estimate_extrinsic: bool = False
     # ESTIMATE_EXTRINSIC=2 path (parameters.h:76-80): no prior rotation —
     # bootstrap ric by hand-eye calibration during initialization

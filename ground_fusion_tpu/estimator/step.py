@@ -109,6 +109,61 @@ def make_window_step(cfg: Config):
     return jax.jit(step), layout
 
 
+def make_packed_codec(template):
+    """(pack, unpack) between a core pytree and THREE flat blobs (one per
+    dtype family). Latency-mode dispatch optimization: pushing a ~50-leaf
+    pytree through the host→device boundary costs ~3 µs of per-leaf argument
+    handling; three flat buffers cut the live per-step overhead several-fold
+    while the jitted program unpacks/repacks with free XLA slices/concats.
+    The packed program is bit-identical to the pytree program
+    (``tests/test_burst.py``/bench equivalence)."""
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    fam_of = {}
+    for i, leaf in enumerate(leaves):
+        d = jnp.asarray(leaf).dtype
+        fam = ("f" if jnp.issubdtype(d, jnp.floating) else
+               "b" if d == jnp.bool_ else "i")
+        fam_of.setdefault(fam, []).append(i)
+    fams = sorted(fam_of)                       # deterministic blob order
+    fam_dtype = {f: jnp.asarray(leaves[fam_of[f][0]]).dtype for f in fams}
+    shapes = [jnp.shape(l) for l in leaves]
+    sizes = [int(np.prod(s)) if s else 1 for s in shapes]
+
+    def pack(core):
+        ls = jax.tree_util.tree_leaves(core)
+        return tuple(
+            jnp.concatenate([ls[i].reshape(-1).astype(fam_dtype[f])
+                             for i in fam_of[f]])
+            for f in fams
+        )
+
+    def unpack(blobs):
+        out = [None] * len(leaves)
+        for f, blob in zip(fams, blobs):
+            off = 0
+            for i in fam_of[f]:
+                out[i] = blob[off:off + sizes[i]].reshape(shapes[i]).astype(
+                    jnp.asarray(leaves[i]).dtype)
+                off += sizes[i]
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return pack, unpack
+
+
+def make_window_step_packed(cfg: Config, template_core: EstimatorCore):
+    """Live/latency-mode window step over packed blobs: the estimator core
+    crosses the dispatch boundary as 3 flat arrays instead of ~50 leaves.
+    Returns (jitted step over blobs, pack, unpack, layout)."""
+    step, layout = _build_step(cfg)
+    pack, unpack = make_packed_codec(template_core)
+
+    def packed_step(blobs, flags: StepFlags):
+        core, out = step(unpack(blobs), flags)
+        return pack(core), out
+
+    return jax.jit(packed_step), pack, unpack, layout
+
+
 def make_window_burst(cfg: Config):
     """Burst/replay mode: a whole CHUNK of window steps fused into one device
     dispatch via ``lax.scan`` — ``burst(core, flags_batch)`` where every leaf
@@ -521,8 +576,13 @@ def _build_step(cfg: Config):
             )
 
         core_new = jax.lax.cond(flags.marg_old, do_old, do_new, None)
+        # device-side failure flag (failureDetection's active bias checks,
+        # estimator.cpp:2847-2888) — lets burst replay detect a mid-chunk
+        # explosion at PER-FRAME granularity instead of per flush
+        failed = (jnp.linalg.norm(state.sbs[f - 1, 3:6]) > cfg.solver.fail_ba_thresh) | \
+                 (jnp.linalg.norm(state.sbs[f - 1, 6:9]) > cfg.solver.fail_bg_thresh)
         # solved (pre-slide) newest pose is the odometry output of this step
         return core_new, {"pose": state.poses[f - 1], "sb": state.sbs[f - 1], "cost": cost,
-                          "poses": state.poses}
+                          "poses": state.poses, "failed": failed}
 
     return step, layout

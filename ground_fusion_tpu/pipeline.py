@@ -462,7 +462,9 @@ class Estimator:
         chunk auto-flushes whenever host-interactive work is pending (epoch
         attachment, VI alignment) and that frame runs per-frame — chunks form
         between epochs (~1 Hz epochs vs ~15 Hz frames). Failure detection
-        runs per chunk instead of per frame. Call :meth:`flush_burst` before
+        runs PER FRAME inside the chunk (device-side bias checks stacked per
+        scanned step; a mid-chunk explosion truncates the chunk's outputs at
+        the failing frame and reboots). Call :meth:`flush_burst` before
         reading ``core``/``trajectory`` or checkpointing
         (``utils.checkpoint.save_core``); ``GroundFusionSystem.finish`` does.
         """
@@ -645,14 +647,23 @@ class Estimator:
         self.core = core_new
         self._burst_flushed_sizes.append(len(self._burst_meta))
         poses = np.asarray(outs["pose"])
-        for k, (t, kf) in enumerate(self._burst_meta):
+        # per-frame failure detection INSIDE the chunk (device-side bias
+        # checks stacked per step): on a mid-chunk explosion, keep only the
+        # frames solved before it and reboot — the reference checks every
+        # frame (estimator.cpp:1140-1148); frames after the failure are
+        # spent toward re-initialization exactly as its clearState path does
+        failed = np.asarray(outs["failed"])
+        k_fail = int(np.argmax(failed)) if failed.any() else len(poses)
+        for k, (t, kf) in enumerate(self._burst_meta[:k_fail]):
             self.trajectory.append((t, poses[k]))
             self.keyframe_flags.append(kf)
         self._burst_xs = []
         self._burst_meta = []
         self._fp = None
+        if k_fail < len(poses):
+            self.reboot()
+            return None
         self._sync_mirror()
-        self._check_failure()
         return poses[-1]
 
     def _fill_or_init(self, t, feats):
@@ -929,7 +940,9 @@ class Estimator:
         initialization phase, keeping the sensor queues."""
         from .estimator.gates import failure_detection
 
-        if failure_detection(np.asarray(self.core.state.sbs)):
+        if failure_detection(np.asarray(self.core.state.sbs),
+                             ba_thresh=self.cfg.solver.fail_ba_thresh,
+                             bg_thresh=self.cfg.solver.fail_bg_thresh):
             self.reboot()
 
     def reboot(self):
