@@ -153,7 +153,16 @@ def make_packed_codec(template):
 def make_window_step_packed(cfg: Config, template_core: EstimatorCore):
     """Live/latency-mode window step over packed blobs: the estimator core
     crosses the dispatch boundary as 3 flat arrays instead of ~50 leaves.
-    Returns (jitted step over blobs, pack, unpack, layout)."""
+    Returns (jitted step over blobs, pack, unpack, layout).
+
+    Measured 5× the pytree live path (3.7k → 18.6k steps/s through the TPU
+    tunnel, bench.py ``live_packed_steps_per_s``). Not yet the pipeline
+    default: the host pump reads the pytree core every frame (keyframe gate,
+    prediction seeding, calibration dump), and one unpack dispatch per frame
+    would hand the saving back — wiring it needs the burst path's host-mirror
+    scheme extended to live mode (all reads served from NumPy mirrors, device
+    state packed end-to-end). Replay/offline surfaces already use the burst
+    program, which amortizes dispatch further than packing can."""
     step, layout = _build_step(cfg)
     pack, unpack = make_packed_codec(template_core)
 
