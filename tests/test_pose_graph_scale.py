@@ -191,10 +191,10 @@ def _inject_gt_loop(pg, gt_p, gt_yaw, i, j):
         pg.earliest_loop = i
 
 
-def _run_scale_graph(n_kf, n_more=0, drift_total=0.05):
+def _run_scale_graph(n_kf, n_more=0, drift_total=0.05, cfg=None):
     total = n_kf + n_more
     gt_p, gt_yaw, vio_p, vio_yaw = _drifting_loop(total, drift_total)
-    pg = PoseGraph(Config())
+    pg = PoseGraph(cfg if cfg is not None else Config())
     for k in range(n_kf):
         pg.add_keyframe(_mk_kf(k, _pose7(vio_p[k], vio_yaw[k])),
                         detect_loop=False)
@@ -271,3 +271,24 @@ def test_pose_graph_1500kf_late_loop(monkeypatch):
     np.testing.assert_allclose(est2, est, atol=1e-6)
     # one shape bucket → one jit key across both optimizes
     assert len(calls) == 2 and len(set(calls)) == 1, calls
+
+
+def test_pose_graph_6dof_late_loop_both_solvers():
+    """The full-SE(3) host path (loop.graph_6dof, optimize6DoF
+    pose_graph.cpp:707-860) through the same span/VIO-pose restructure:
+    dense bucket (60 KFs) and PCG bucket (300 KFs) both close the loop and
+    stay idempotent."""
+    import dataclasses
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, loop=dataclasses.replace(cfg.loop, graph_6dof=True))
+    for n in (60, 300):
+        pg, gt_p, gt_yaw, err_before, err_after = _run_scale_graph(n, cfg=cfg)
+        assert err_after < 0.3 * err_before, (
+            f"6-DoF closure failed at n={n}: {err_before:.3f}→{err_after:.3f}")
+        est = np.stack([k.pose[0:3] for k in pg.kfs])
+        pg.optimize()
+        est2 = np.stack([k.pose[0:3] for k in pg.kfs])
+        np.testing.assert_allclose(est2, est, atol=1e-6,
+                                   err_msg=f"6-DoF optimize not idempotent (n={n})")
