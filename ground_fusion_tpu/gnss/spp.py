@@ -76,8 +76,10 @@ def dopp_vel_solve(obs_list, rcv_ecef):
         sp = np.asarray(o["sat_pos"], float)
         sv = np.asarray(o["sat_vel"], float)
         los = (sp - rcv_ecef) / np.linalg.norm(sp - rcv_ecef)
-        # measured range-rate (reference convention: -dopp*wavelength)
-        rate = -o["dopp"]
+        # measured range-rate (reference convention: -dopp*wavelength);
+        # "dopp" here is doppler×wavelength in m/s — fall back to the
+        # factor-table key when a caller only carries dopp_wl
+        rate = -o.get("dopp", o.get("dopp_wl", 0.0))
         r[k] = rate - (np.dot(sv, los) - o["svddt"] * LIGHT_SPEED)
         A[k, 0:3] = -los
         A[k, 3] = 1.0
