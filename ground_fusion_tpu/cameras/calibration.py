@@ -185,8 +185,10 @@ def _model_bindings():
     from .models import (
         EquidistantParams,
         MeiParams,
+        PinholeFullParams,
         equidistant_space_to_plane,
         mei_space_to_plane,
+        pinhole_full_space_to_plane,
     )
 
     return {
@@ -195,6 +197,14 @@ def _model_bindings():
             lambda i: PinholeParams(*i),
             pinhole_space_to_plane,
             lambda fx, fy, cx, cy: [fx, fy, cx, cy, 0.0, 0.0, 0.0, 0.0],
+        ),
+        # rational-polynomial distortion (PinholeFullCamera.cc): same Zhang
+        # seed, 12-dim intrinsic vector
+        "pinhole_full": (
+            12,
+            lambda i: PinholeFullParams(*i),
+            pinhole_full_space_to_plane,
+            lambda fx, fy, cx, cy: [fx, fy, cx, cy] + [0.0] * 8,
         ),
         # Kannala-Brandt fisheye: Zhang's pinhole estimate seeds (mu, mv);
         # the theta-polynomial coefficients start at the ideal-equidistant 0
