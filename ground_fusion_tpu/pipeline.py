@@ -150,6 +150,22 @@ class Estimator:
             self._fp = None
             return
         if getattr(self, "_fp", None) is None:
+            seed = getattr(self, "_fp_seed", None)
+            if seed is not None:
+                # seeded from the last step's fetched outputs — no per-seed
+                # device→host round trips (each costs ~40 ms on a contended
+                # remote tunnel)
+                pose, sb = seed
+                self._fp = {
+                    "t": t,
+                    "p": np.asarray(pose[0:3], np.float64),
+                    "q": np.asarray(pose[3:7], np.float64),
+                    "v": np.asarray(sb[0:3], np.float64),
+                    "ba": np.asarray(sb[3:6], np.float64),
+                    "bg": np.asarray(sb[6:9], np.float64),
+                    "acc": acc, "gyr": gyr,
+                }
+                return
             st = self.core.state
             self._fp = {
                 "t": t,
@@ -391,10 +407,11 @@ class Estimator:
             active = self._mirror_active
             obs_xy = self._mirror_obs_xy
         else:
+            import jax
+
             tr = self.core.tracks
-            ov = np.asarray(tr.obs_valid)
-            active = np.asarray(tr.active)
-            obs_xy = np.asarray(tr.obs)[..., 0:2]
+            ov, active, obs_xy = (np.array(a) for a in jax.device_get(
+                (tr.obs_valid, tr.active, tr.obs[..., 0:2])))
         obs_counts = ov.sum(axis=1)
         # long tracks: the incoming observation brings them to ≥4
         long_track_num = sum(
@@ -478,13 +495,22 @@ class Estimator:
         self._mirror_synced = False
 
     def _sync_mirror(self) -> None:
-        self._mirror_obs_valid = np.asarray(self.core.tracks.obs_valid).copy()
-        self._mirror_active = np.asarray(self.core.tracks.active).copy()
-        # x,y columns only — feeds the host-side keyframe parallax gate
-        self._mirror_obs_xy = np.asarray(self.core.tracks.obs)[..., 0:2].copy()
+        import jax
+
+        tr = self.core.tracks
+        fetch = [tr.obs_valid, tr.active, tr.obs[..., 0:2]]
         if self.cfg.use_line and self.core.lines is not None:
-            self._mirror_line_obs_valid = np.asarray(self.core.lines.obs_valid).copy()
-            self._mirror_line_active = np.asarray(self.core.lines.active).copy()
+            fetch += [self.core.lines.obs_valid, self.core.lines.active]
+        # one batched device→host fetch (sequential np.asarray reads cost a
+        # full tunnel round trip each)
+        got = jax.device_get(tuple(fetch))
+        self._mirror_obs_valid = np.array(got[0])
+        self._mirror_active = np.array(got[1])
+        # x,y columns only — feeds the host-side keyframe parallax gate
+        self._mirror_obs_xy = np.array(got[2])
+        if self.cfg.use_line and self.core.lines is not None:
+            self._mirror_line_obs_valid = np.array(got[3])
+            self._mirror_line_active = np.array(got[4])
         self._mirror_synced = True
 
     def _assign_slots_mirror(self, feats: dict[int, FrameFeature]):
@@ -646,13 +672,17 @@ class Estimator:
         core_new, outs = self._burst_fn(self.core, xs)
         self.core = core_new
         self._burst_flushed_sizes.append(len(self._burst_meta))
-        poses = np.asarray(outs["pose"])
+        import jax
+
+        poses, sbs_out, failed = jax.device_get(
+            (outs["pose"], outs["sb"], outs["failed"]))
+        poses = np.asarray(poses, np.float64)
         # per-frame failure detection INSIDE the chunk (device-side bias
         # checks stacked per step): on a mid-chunk explosion, keep only the
         # frames solved before it and reboot — the reference checks every
         # frame (estimator.cpp:1140-1148); frames after the failure are
         # spent toward re-initialization exactly as its clearState path does
-        failed = np.asarray(outs["failed"])
+        failed = np.asarray(failed)
         k_fail = int(np.argmax(failed)) if failed.any() else len(poses)
         for k, (t, kf) in enumerate(self._burst_meta[:k_fail]):
             self.trajectory.append((t, poses[k]))
@@ -663,6 +693,10 @@ class Estimator:
         if k_fail < len(poses):
             self.reboot()
             return None
+        # seed fastPredict + the speed gate from the fetched outputs
+        self._last_sb = np.asarray(sbs_out[-1], np.float64)
+        self._fp_seed = (poses[-1], self._last_sb)
+        self._last_out_failed = False
         self._sync_mirror()
         return poses[-1]
 
@@ -938,11 +972,14 @@ class Estimator:
         """failureDetection → clearState reboot (estimator.cpp:1140-1148,
         2847-2888): exploding bias norms restart the estimator from the
         initialization phase, keeping the sensor queues."""
-        from .estimator.gates import failure_detection
+        failed = getattr(self, "_last_out_failed", None)
+        if failed is None:
+            from .estimator.gates import failure_detection
 
-        if failure_detection(np.asarray(self.core.state.sbs),
-                             ba_thresh=self.cfg.solver.fail_ba_thresh,
-                             bg_thresh=self.cfg.solver.fail_bg_thresh):
+            failed = failure_detection(np.asarray(self.core.state.sbs),
+                                       ba_thresh=self.cfg.solver.fail_ba_thresh,
+                                       bg_thresh=self.cfg.solver.fail_bg_thresh)
+        if failed:
             self.reboot()
 
     def reboot(self):
@@ -977,6 +1014,9 @@ class Estimator:
         self.gnss_aligned = False
         self._first_gnss_opt = True   # estimator.cpp:152
         self._mirror_synced = False
+        self._fp_seed = None
+        self._last_sb = None
+        self._last_out_failed = None
         if getattr(self, "_burst_chunk", 0):
             self._burst_xs, self._burst_meta = [], []
         self.reboots = getattr(self, "reboots", 0) + 1
@@ -1059,6 +1099,9 @@ class Estimator:
                                          data["gnss_track_vals"])}
         self._prev_feats = {}
         self._fp = None
+        self._fp_seed = None
+        self._last_sb = None
+        self._last_out_failed = None
         self._mirror_synced = False
 
     def _attach_gnss_epoch(self):
@@ -1166,7 +1209,14 @@ class Estimator:
         if self.gnss is not None:
             self._attach_gnss_epoch()
             self._try_gnss_align()
-        speed = float(np.linalg.norm(np.asarray(self.core.state.sbs[f - 1, 0:3])))
+        # newest-frame speed for the low-speed yaw gate: the previous step's
+        # fetched sb IS sbs[F-1] post-slide (both slide branches keep the
+        # newest slot), so no device readback is needed past the first frame
+        last_sb = getattr(self, "_last_sb", None)
+        if last_sb is not None:
+            speed = float(np.linalg.norm(last_sb[0:3]))
+        else:
+            speed = float(np.linalg.norm(np.asarray(self.core.state.sbs[f - 1, 0:3])))
         frame_dts = np.diff(np.asarray(self.ts, np.float64), prepend=self.ts[0])
         # anomaly/stationarity gates are computed inside the jitted step from
         # the window buffers (estimator/gates.device_frame_gates); the flags
@@ -1187,8 +1237,17 @@ class Estimator:
         self._first_gnss_opt = False
         core_new, out = self.step_fn(self.core, flags)
         self.core = core_new
+        # ONE batched device→host fetch for everything the host needs from
+        # this step (pose, speed/bias vector, failure flag) — sequential
+        # np.asarray reads cost one tunnel round trip EACH
+        import jax
+
+        pose, sb, failed = jax.device_get((out["pose"], out["sb"], out["failed"]))
+        pose = np.asarray(pose, np.float64)
+        self._last_sb = np.asarray(sb, np.float64)
+        self._last_out_failed = bool(failed)
         self._fp = None   # fastPredict re-seeds from the fresh optimized state
-        pose = np.asarray(out["pose"])
+        self._fp_seed = (pose, self._last_sb)
         self.trajectory.append((self.ts[-1], pose))
         self.keyframe_flags.append(bool(marg_old))
         if not marg_old:

@@ -144,11 +144,14 @@ class GroundFusionSystem:
 
     def _refresh_dr_bias(self):
         """Latest solved biases + wheel intrinsics for the dead-reckoning
-        paths (one device readback per solved frame, not per sample)."""
-        st = self.estimator.core.state
-        sb = np.asarray(st.sbs[self.estimator.f - 1])
+        paths (one batched device readback per solved frame, not per
+        sample)."""
+        est = self.estimator
+        sb = getattr(est, "_last_sb", None)
+        if sb is None:
+            sb = np.asarray(est.core.state.sbs[est.f - 1])
         self._dr_ba, self._dr_bg = sb[3:6], sb[6:9]
-        s = np.asarray(st.s_wheel)
+        s = np.asarray(est.core.state.s_wheel)
         self._dr_sw = (float(s[0]), float(s[1]), float(s[2]))
 
     def input_gnss(self, t, obs):
@@ -283,26 +286,37 @@ class GroundFusionSystem:
         od = est.latest_odometry()
         if od is None or not est.slot_of:
             return
+        import jax
         import jax.numpy as jnp
 
-        from .geometry.se3 import pose_apply, pose_apply_inv, pose_compose
+        from .utils.np_quat import quat_mul, quat_normalize, quat_to_mat
 
         _, pose7, _ = od
         tr = est.core.tracks
-        ok = np.asarray(tr.active & tr.solve_ok)
+        # ONE batched device→host fetch per frame, then pure-numpy geometry
+        # (sequential eager jnp ops each pay a tunnel round trip)
+        ok, sf, obs, inv_d, poses, ex_cam = (np.array(a) for a in jax.device_get(
+            (tr.active & tr.solve_ok, tr.start_frame, tr.obs, tr.inv_depth,
+             est.core.state.poses, est.core.state.ex_cam)))
         if not ok.any():
             return
-        sf = np.asarray(tr.start_frame)
-        obs = np.asarray(tr.obs)
-        depth = 1.0 / np.maximum(np.asarray(tr.inv_depth), 1e-6)
-        cams = pose_compose(est.core.state.poses, est.core.state.ex_cam[None, :])
+        depth = 1.0 / np.maximum(inv_d, 1e-6)
+        # per-frame camera poses: T_i ∘ ex_cam (host quaternions)
+        t_ex, q_ex = ex_cam[0:3], ex_cam[3:7]
+        cam_R = np.zeros((len(poses), 3, 3))
+        cam_t = np.zeros((len(poses), 3))
+        for i in range(len(poses)):
+            Ri = quat_to_mat(poses[i, 3:7])
+            cam_t[i] = poses[i, 0:3] + Ri @ t_ex
+            cam_R[i] = quat_to_mat(quat_normalize(quat_mul(poses[i, 3:7], q_ex)))
         rays = np.concatenate(
             [obs[np.arange(len(sf)), sf, 0:2], np.ones((len(sf), 1))], axis=1)
-        pts_w = np.asarray(pose_apply(cams[jnp.asarray(sf)],
-                                      jnp.asarray(rays * depth[:, None])))
-        cam_pred = pose_compose(jnp.asarray(pose7, jnp.float64),
-                                est.core.state.ex_cam.astype(jnp.float64))
-        pc = np.asarray(pose_apply_inv(cam_pred, jnp.asarray(pts_w)))
+        pts_c = rays * depth[:, None]
+        pts_w = np.einsum("nij,nj->ni", cam_R[sf], pts_c) + cam_t[sf]
+        R_pred = quat_to_mat(np.asarray(pose7[3:7], float))
+        Rc = R_pred @ quat_to_mat(q_ex)
+        tc = np.asarray(pose7[0:3], float) + R_pred @ t_ex
+        pc = (pts_w - tc) @ Rc
         vis = ok & (pc[:, 2] > 0.1)
         if not vis.any():
             return

@@ -9,8 +9,12 @@ topics including the pure IMU / pure wheel dead-reckoning diagnostic paths
 from __future__ import annotations
 
 import os
+from collections import namedtuple
 
 import numpy as np
+
+_FetchedState = namedtuple(
+    "_FetchedState", ["ex_cam", "ex_wheel", "s_wheel", "td", "td_wheel"])
 
 
 class CalibrationDump:
@@ -29,9 +33,14 @@ class CalibrationDump:
             open(p, "w").close()
 
     def append(self, t: float, state) -> None:
-        ex = np.asarray(state.ex_cam)
-        exw = np.asarray(state.ex_wheel)
-        s = np.asarray(state.s_wheel)
+        import jax
+
+        # one batched device→host fetch per solve (5 sequential reads would
+        # each pay a tunnel round trip)
+        ex, exw, s, td, td_wheel = jax.device_get(
+            (state.ex_cam, state.ex_wheel, state.s_wheel, state.td,
+             state.td_wheel))
+        state = _FetchedState(ex, exw, s, td, td_wheel)
         with open(self.paths["ex_cam"], "a") as f:
             f.write(f"{t:.6f}," + ",".join(f"{v:.6f}" for v in ex) + "\n")
         with open(self.paths["ex_wheel"], "a") as f:
