@@ -126,6 +126,15 @@ def make_packed_codec(template):
         fam_of.setdefault(fam, []).append(i)
     fams = sorted(fam_of)                       # deterministic blob order
     fam_dtype = {f: jnp.asarray(leaves[fam_of[f][0]]).dtype for f in fams}
+    for f in fams:
+        # the blob round-trips every leaf through fam_dtype; a narrower blob
+        # dtype would silently truncate wider leaves and break the
+        # bit-identical guarantee — require dtype-uniform families
+        mixed = {str(jnp.asarray(leaves[i]).dtype) for i in fam_of[f]}
+        if len(mixed) > 1:
+            raise TypeError(
+                f"make_packed_codec: dtype family {f!r} mixes {sorted(mixed)}; "
+                "packing would round-trip through one of them")
     shapes = [jnp.shape(l) for l in leaves]
     sizes = [int(np.prod(s)) if s else 1 for s in shapes]
 

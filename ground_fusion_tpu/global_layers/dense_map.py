@@ -163,30 +163,48 @@ class OccupancyGrid2D:
 
     def save_pgm(self, path: str):
         """Grid export loadable as a prior map (pose_graph_node.cpp:861-901
-        loads such offline-built grids)."""
+        loads such offline-built grids). The world scale is recorded in a
+        PGM comment line (`# res <m/cell> origin <ox> <oy>`) — the PGM pixel
+        format itself carries no resolution, so without this a non-default
+        grid would silently reload at the wrong world scale."""
         p = self.probability()
         img = np.clip((1.0 - p) * 255, 0, 255).astype(np.uint8)
         with open(path, "wb") as fp:
-            fp.write(f"P5\n{self.n} {self.n}\n255\n".encode())
+            fp.write(f"P5\n# res {float(self.res)!r} origin "
+                     f"{float(self.origin[0])!r} {float(self.origin[1])!r}\n"
+                     f"{self.n} {self.n}\n255\n".encode())
             fp.write(img.tobytes())
 
     @classmethod
-    def load_pgm(cls, path: str, resolution: float = 0.05, **kw):
+    def load_pgm(cls, path: str, resolution: float | None = None, **kw):
         """Rebuild a grid from a saved PGM — the prior-occupancy-map load of
         the dense-map node (pose_graph_node.cpp:861-901: reads an
         offline-built grid image and republishes it as the prior map).
         Probabilities are recovered from the 8-bit image and clamped to the
-        log-odds bounds, so save→load round-trips to quantization."""
+        log-odds bounds, so save→load round-trips to quantization.
+
+        Resolution: an explicit ``resolution`` argument wins; otherwise the
+        `# res … origin …` metadata comment written by :meth:`save_pgm` is
+        used; otherwise the 0.05 m/cell default."""
+        meta_res, meta_origin = None, None
         with open(path, "rb") as fp:
             assert fp.readline().strip() == b"P5", "not a binary PGM"
             dims = fp.readline().split()
             while dims and dims[0].startswith(b"#"):
+                if len(dims) >= 3 and dims[1] == b"res":
+                    meta_res = float(dims[2])
+                    if len(dims) >= 6 and dims[3] == b"origin":
+                        meta_origin = np.array([float(dims[4]), float(dims[5])])
                 dims = fp.readline().split()
             w, h = int(dims[0]), int(dims[1])
             fp.readline()               # maxval
             img = np.frombuffer(fp.read(w * h), np.uint8).reshape(h, w)
         assert w == h, "occupancy grids are square"
+        if resolution is None:
+            resolution = meta_res if meta_res is not None else 0.05
         grid = cls(size_m=w * resolution, resolution=resolution, **kw)
+        if meta_origin is not None:
+            grid.origin = meta_origin
         p = np.clip(1.0 - img.astype(np.float64) / 255.0, 1e-4, 1 - 1e-4)
         lo = np.clip(np.log(p / (1.0 - p)), grid.l_min, grid.l_max)
         grid.logodds = jnp.asarray(lo, jnp.float32)

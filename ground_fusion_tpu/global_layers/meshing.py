@@ -40,6 +40,14 @@ class TsdfVolume:
         self.weight = jnp.zeros((self.n,) * 3, dtype)
         self.color = jnp.zeros((self.n,) * 3 + (3,), dtype)
 
+    def clear(self) -> None:
+        """Reset the volume — used by the post-loop dense-map rebuild so the
+        TSDF is re-rasterised at the relaxed poses instead of keeping
+        pre-loop geometry (updatePath rebuild, pose_graph.cpp:875-930)."""
+        self.tsdf = jnp.ones_like(self.tsdf)
+        self.weight = jnp.zeros_like(self.weight)
+        self.color = jnp.zeros_like(self.color)
+
     @staticmethod
     @partial(jax.jit, static_argnames=("n",))
     def _integrate(tsdf, weight, color, depth_img, color_img, pose_wc,

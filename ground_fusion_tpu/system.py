@@ -92,9 +92,11 @@ class GroundFusionSystem:
             # (the reference keeps point_rgbd on each KeyFrame and rebuilds
             # the octree from them in updatePath, pose_graph.cpp:875-930)
             self._kf_clouds: dict[int, tuple] = {}
+            self._kf_rgbd: dict[int, tuple] = {}
 
         self.voxel_map = None
         self.tsdf = None
+        self.prior_grid = None
         if cfg.map.enabled:
             from .global_layers.dense_map import VoxelColorMap
 
@@ -411,18 +413,26 @@ class GroundFusionSystem:
         cam_pose = pose_compose(jnp.asarray(pose, jnp.float32),
                                 self.estimator.core.state.ex_cam)
         pts_w = pose_apply(cam_pose, pts_cam)
-        # z-range insertion gate (pointWorld.z() > 2 || < -0.5 skip)
-        ok = ok & (pts_w[:, 2] <= self.cfg.map.z_max) \
-                & (pts_w[:, 2] >= self.cfg.map.z_min)
+        # z-range insertion gate (pointWorld.z() > 2 || < -0.5 skip) — the
+        # gate depends on the WORLD pose, so only the pre-gate validity mask
+        # is stored per keyframe and the gate is re-evaluated at rebuild time
+        ok_z = ok & (pts_w[:, 2] <= self.cfg.map.z_max) \
+                  & (pts_w[:, 2] >= self.cfg.map.z_min)
         with self.stats.time("map"):
-            self.voxel_map.insert(pts_w, rgb, ok)
+            self.voxel_map.insert(pts_w, rgb, ok_z)
             if register is not None:
-                # fixed-shape cloud + gate mask (the reference resizes
+                # fixed-shape cloud + pre-z-gate mask (the reference resizes
                 # point_rgbd to the inserted points, pose_graph.cpp:219-222;
                 # masking keeps every stored cloud the same static shape so
                 # the rebuild re-insertions hit one compiled program)
                 self._kf_clouds[register] = (
                     np.asarray(pts_cam), np.asarray(rgb), np.asarray(ok))
+                if self.tsdf is not None:
+                    # compact per-KF RGBD copy so the TSDF can be re-rastered
+                    # at the relaxed poses after a loop closure
+                    self._kf_rgbd[register] = (
+                        np.asarray(depth, np.float16),
+                        np.asarray(color, np.uint8))
             if self.tsdf is not None:
                 # the TSDF raster assumes a pinhole-style intrinsic grid (as
                 # does the reference's RGBD mapping node)
@@ -448,12 +458,25 @@ class GroundFusionSystem:
 
         with self.stats.time("map"):
             self.voxel_map.clear()
+            if self.tsdf is not None:
+                self.tsdf.clear()
+            p = self.cam.params
             for kf_pos, (pts_cam, rgb, ok) in self._kf_clouds.items():
                 pose = self.pose_graph.kfs[kf_pos].pose
                 cam_pose = pose_compose(jnp.asarray(pose, jnp.float32),
                                         self.estimator.core.state.ex_cam)
                 pts_w = pose_apply(cam_pose, jnp.asarray(pts_cam))
-                self.voxel_map.insert(pts_w, jnp.asarray(rgb), jnp.asarray(ok))
+                # re-evaluate the world-z insertion gate at the relaxed pose
+                ok_z = jnp.asarray(ok) & (pts_w[:, 2] <= self.cfg.map.z_max) \
+                                       & (pts_w[:, 2] >= self.cfg.map.z_min)
+                self.voxel_map.insert(pts_w, jnp.asarray(rgb), ok_z)
+                if self.tsdf is not None and kf_pos in self._kf_rgbd:
+                    depth, color = self._kf_rgbd[kf_pos]
+                    self.tsdf.integrate(
+                        depth.astype(np.float32), color.astype(np.float32),
+                        np.asarray(cam_pose), float(p.fx), float(p.fy),
+                        float(p.cx), float(p.cy),
+                    )
 
     # --------------------------------------------------------- checkpointing
 
@@ -512,6 +535,10 @@ class GroundFusionSystem:
             self.voxel_map.save_ply(os.path.join(self.out_dir, "map.ply"))
         if self.tsdf is not None:
             self.tsdf.save_mesh_ply(os.path.join(self.out_dir, "mesh.ply"))
+        if self.prior_grid is not None:
+            # republish the loaded prior occupancy map into this run's output
+            # set (the latched prior-map republish, pose_graph_node.cpp:861-901)
+            self.prior_grid.save_pgm(os.path.join(self.out_dir, "prior_grid.pgm"))
         self.dead_reckoning.write_tum(
             os.path.join(self.out_dir, "pure_imu.txt"),
             os.path.join(self.out_dir, "pure_wheel.txt"),

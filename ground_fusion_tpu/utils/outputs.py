@@ -132,8 +132,9 @@ class DeadReckoningPaths:
     def propagate_wheel(self, t, dt, vel, gyr, vel0=None, gyr0=None,
                         scales=(1.0, 1.0, 1.0)):
         """Midpoint wheel propagation with intrinsic scales (sx, sy, sw)
-        (fastPredictWheel: un_gyr = ½·sw·(gyr0+gyr1), velocity rotated then
-        diag(sx,sy,1)-scaled)."""
+        (fastPredictWheel: un_gyr = ½·sw·(gyr0+gyr1); each BODY-frame
+        velocity is diag(sx,sy,1)-scaled first, then rotated — R·(sv·v),
+        estimator.cpp:4079-4093)."""
         from .np_quat import quat_mul, quat_normalize, quat_to_mat
 
         if self._wheel_state is None:
@@ -144,11 +145,11 @@ class DeadReckoningPaths:
             vel0 = vel
         if gyr0 is None:
             gyr0 = gyr
-        un_vel0 = quat_to_mat(q) @ vel0
+        sv = np.diag([sx, sy, 1.0])
+        un_vel0 = quat_to_mat(q) @ (sv @ vel0)
         un_gyr = 0.5 * sw * (gyr0 + gyr)
         q = quat_normalize(quat_mul(q, np.concatenate([[1.0], 0.5 * un_gyr * dt])))
-        sv = np.diag([sx, sy, 1.0])
-        v_mid = 0.5 * sv @ (quat_to_mat(q) @ vel + un_vel0)
+        v_mid = 0.5 * (quat_to_mat(q) @ (sv @ vel) + un_vel0)
         p = p + v_mid * dt
         self._wheel_state = (p, q)
         self.wheel_path.append((t, np.concatenate([p, q])))

@@ -504,8 +504,9 @@ GNSS_COMM_MSG_DEFS = {
 LIGHT_SPEED = 299792458.0
 SECS_PER_WEEK = 604800.0
 # gnss_comm satellite numbering (gnss_constant.hpp): contiguous sat ids
-# GPS [1..32], GLONASS [33..59], Galileo [60..89], BeiDou [90..124]
-N_SAT_GPS, N_SAT_GLO, N_SAT_GAL, N_SAT_BDS = 32, 27, 30, 35
+# GPS [1..32], GLONASS [33..59], Galileo [60..95], BeiDou [96..158]
+# (MAX_PRN: GPS 32, GLO 27, GAL 36, BDS 63)
+N_SAT_GPS, N_SAT_GLO, N_SAT_GAL, N_SAT_BDS = 32, 27, 36, 63
 EPH_VALID_SECONDS = 7200.0        # gnss_comm gnss_constant.hpp
 
 SYS_GPS, SYS_GLO, SYS_GAL, SYS_BDS = 0, 1, 2, 3   # clock-chain indices

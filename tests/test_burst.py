@@ -359,3 +359,16 @@ def test_packed_step_matches_pytree():
                                np.asarray(c1.state.poses), atol=1e-12)
     np.testing.assert_allclose(np.asarray(c2.tracks.inv_depth),
                                np.asarray(c1.tracks.inv_depth), atol=1e-12)
+
+
+def test_packed_codec_rejects_mixed_dtype_family():
+    """A core mixing f32/f64 leaves would silently round-trip through the
+    first leaf's dtype; the codec must refuse to build instead."""
+    import jax.numpy as jnp
+    import pytest
+
+    from ground_fusion_tpu.estimator.step import make_packed_codec
+
+    with pytest.raises(TypeError, match="mixes"):
+        make_packed_codec({"a": jnp.zeros(3, jnp.float64),
+                           "b": jnp.zeros(3, jnp.float32)})

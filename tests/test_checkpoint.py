@@ -159,6 +159,12 @@ def test_grid_pgm_roundtrip(tmp_path):
     g2 = OccupancyGrid2D.load_pgm(p, resolution=0.1)
     assert g2.n == g.n
     np.testing.assert_allclose(g2.probability(), g.probability(), atol=0.02)
+    # the PGM metadata comment must recover a non-default resolution and
+    # origin without the caller restating them (the pixel format alone
+    # carries no world scale)
+    g3 = OccupancyGrid2D.load_pgm(p)
+    assert g3.res == g.res and g3.n == g.n
+    np.testing.assert_allclose(g3.origin, g.origin)
 
 
 def test_build_grid_script(tmp_path):

@@ -232,13 +232,39 @@ def test_msgdef_codec_roundtrip():
 
 
 def test_satsys_ranges():
+    # gnss_comm gnss_constant.hpp: GPS 1-32, GLO 33-59, GAL 60-95, BDS 96-158
     assert convert_bag.satsys(1) == (convert_bag.SYS_GPS, 1)
     assert convert_bag.satsys(32) == (convert_bag.SYS_GPS, 32)
     assert convert_bag.satsys(33) == (convert_bag.SYS_GLO, 1)
+    assert convert_bag.satsys(59) == (convert_bag.SYS_GLO, 27)
     assert convert_bag.satsys(60) == (convert_bag.SYS_GAL, 1)
-    assert convert_bag.satsys(90) == (convert_bag.SYS_BDS, 1)
-    assert convert_bag.satsys(90 + 34) == (convert_bag.SYS_BDS, 35)
-    assert convert_bag.satsys(125)[0] is None
+    assert convert_bag.satsys(95) == (convert_bag.SYS_GAL, 36)
+    assert convert_bag.satsys(96) == (convert_bag.SYS_BDS, 1)
+    assert convert_bag.satsys(96 + 62) == (convert_bag.SYS_BDS, 63)
+    assert convert_bag.satsys(159)[0] is None
+
+
+def test_bds_geo_classification():
+    """A real BDS GEO id (96 → C01) must take the −5°-rotated-frame branch,
+    and Galileo ids must never be classified as BDS (gnss_comm numbering;
+    regression for the old 30/35-sat ranges that shifted every BDS prn)."""
+    conv = convert_bag.GnssConverter()
+    base = dict(
+        toe={"week": 2200, "tow": 100.0}, toc={"week": 2200, "tow": 100.0},
+        toe_tow=100.0, A=2.65e7, e=0.001, i0=0.1, omg=0.0, OMG0=0.0,
+        M0=0.0, delta_n=0.0, OMG_dot=0.0, i_dot=0.0, cuc=0.0, cus=0.0,
+        crc=0.0, crs=0.0, cic=0.0, cis=0.0, af0=0.0, af1=0.0, af2=0.0,
+        tgd0=0.0, ura=2.0,
+    )
+    conv.add_ephem(dict(base, sat=96))          # C01: GEO
+    conv.add_ephem(dict(base, sat=96 + 58))     # C59: GEO (prn >= 59)
+    conv.add_ephem(dict(base, sat=96 + 10))     # C11: MEO
+    conv.add_ephem(dict(base, sat=95))          # E36: Galileo, not BDS
+    eph = {s: v[0][1] for s, v in conv.sat2ephem.items()}
+    assert eph[96]["geo"] and eph[96]["sys"] == "BDS"
+    assert eph[96 + 58]["geo"]
+    assert not eph[96 + 10]["geo"]
+    assert eph[95]["sys"] == "GAL" and not eph[95]["geo"]
 
 
 def _gnss_conn_rec(conn, topic, mtype):
