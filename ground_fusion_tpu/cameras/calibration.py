@@ -177,15 +177,133 @@ class CalibResult(NamedTuple):
     rms_px: float
 
 
+def scaramuzza_project_zfwd(cam, pts):
+    """Scaramuzza projection of z-FORWARD camera-frame points (the board
+    poses use the pinhole convention, board in front ⇒ z > 0) — the same
+    bridge the dispatched runtime model uses."""
+    from .models import scaramuzza_space_to_plane_zfwd
+
+    return scaramuzza_space_to_plane_zfwd(cam, pts)
+
+
+# exact change of polynomial basis ψ = π/2 − θ:
+# Σ_k b_k ψ^k = Σ_j [Σ_k C(k,j)(π/2)^(k−j)(−1)^j b_k] θ^j
+def _psi2theta(n: int = 6) -> np.ndarray:
+    from math import comb
+
+    M = np.zeros((n, n))
+    for k in range(n):
+        for j in range(k + 1):
+            M[j, k] = comb(k, j) * (np.pi / 2) ** (k - j) * (-1.0) ** j
+    return M
+
+
+_PSI2THETA = _psi2theta(6)
+
+
+def _scaramuzza_finalize(params, poses):
+    """Canonicalize + complete the calibrated OCam model.
+
+    1. Sign gauge: the reprojection cost is invariant under
+       ``inv_poly → −inv_poly`` composed with a 180° rotation of every board
+       pose about the optical axis (ρ and the image direction both negate).
+       If LM landed in the mirror basin (mid-field ρ < 0), flip both back.
+    2. Fit the cam2world polynomial (a0..a4) from the calibrated world2cam
+       inverse so the returned model round-trips through the runtime's own
+       lift/project pair. Self-consistency of the model equations: a pixel
+       at radius ρ lifts to ray (u, v, −z(ρ)); projecting it back needs
+       ``inv_poly(atan2(z, ρ)) = ρ``, i.e. ``z(ρ) = ρ·tan(θ)`` with θ the
+       inverse of ρ(θ). Sampled over the calibrated field + linear LSQ."""
+    from .models import ScaramuzzaParams
+
+    inv = np.asarray(params.inv_poly, np.float64)
+    poses = np.asarray(poses)
+    c = float(params.c)
+    d = float(params.d)
+    e = float(params.e)
+    if c < 0.0:
+        # reflection gauge: A·diag(−1,1) with u → −u is cost-invariant for a
+        # PLANAR target (the compensating board-pose reflection composes with
+        # the free board-plane flip z_w → −z_w into a proper rotation).
+        # Canonical form keeps c > 0 (physical OCam affine ≈ identity).
+        c, e = -c, -e
+        poses = poses.copy()
+        # p_c' = M p_c with M = diag(−1,1,1) (wrapper frame); board flip
+        # Dz = diag(1,1,−1) on the world side: R'' = M R Dz, t'' = M t
+        for i in range(len(poses)):
+            t = poses[i, 0:3].copy()
+            qw, qx, qy, qz = poses[i, 3:7]
+            R = np.array([
+                [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz), 2 * (qx * qz + qw * qy)],
+                [2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - qw * qx)],
+                [2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx), 1 - 2 * (qx * qx + qy * qy)],
+            ])
+            M = np.diag([-1.0, 1.0, 1.0])
+            Dz = np.diag([1.0, 1.0, -1.0])
+            R2 = M @ R @ Dz
+            t2 = M @ t
+            tr = np.trace(R2)
+            qw2 = np.sqrt(max(tr + 1.0, 1e-12)) / 2
+            q2 = np.array([
+                qw2,
+                (R2[2, 1] - R2[1, 2]) / (4 * qw2),
+                (R2[0, 2] - R2[2, 0]) / (4 * qw2),
+                (R2[1, 0] - R2[0, 1]) / (4 * qw2),
+            ])
+            poses[i, 0:3] = t2
+            poses[i, 3:7] = q2 / np.linalg.norm(q2)
+    params = params._replace(
+        c=jnp.asarray(c, params.inv_poly.dtype),
+        d=jnp.asarray(d, params.inv_poly.dtype),
+        e=jnp.asarray(e, params.inv_poly.dtype),
+    )
+    if np.polyval(inv[::-1], np.pi / 2 - 0.3) < 0.0:
+        inv = -inv
+        # rotate every board pose 180° about the (z-forward) optical axis:
+        # t' = diag(−1,−1,1)·t, q' = q_z(π) ⊗ q
+        poses = poses.copy()
+        poses[:, 0] *= -1.0
+        poses[:, 1] *= -1.0
+        qz = np.array([0.0, 0.0, 0.0, 1.0])
+        q = poses[:, 3:7]
+        poses[:, 3:7] = np.stack([
+            qz[0] * q[:, 0] - qz[3] * q[:, 3],
+            qz[0] * q[:, 1] - qz[3] * q[:, 2],
+            qz[0] * q[:, 2] + qz[3] * q[:, 1],
+            qz[0] * q[:, 3] + qz[3] * q[:, 0],
+        ], axis=1)
+
+    # fit only over the physically calibrated field: the largest ψ-prefix on
+    # which ρ(ψ) is positive and monotone (the fitted inverse polynomial is
+    # meaningless extrapolated beyond the observed FOV)
+    psi = np.linspace(0.01, 1.2, 2000)
+    theta = np.pi / 2 - psi
+    rho = np.polyval(inv[::-1], theta)
+    good = (rho > 1e-6) & (rho < 4000.0)
+    good[1:] &= np.diff(rho) > 0
+    stop = int(np.argmin(good)) if not good.all() else len(good)
+    theta, rho = theta[:stop][good[:stop]], rho[:stop][good[:stop]]
+    z = rho * np.tan(theta)
+    A = np.vander(rho, 5, increasing=True)
+    a, *_ = np.linalg.lstsq(A, z, rcond=None)
+    return ScaramuzzaParams(
+        poly=jnp.asarray(a, params.inv_poly.dtype),
+        inv_poly=jnp.asarray(inv, params.inv_poly.dtype),
+        c=params.c, d=params.d, e=params.e,
+        cx=params.cx, cy=params.cy,
+    ), poses
+
+
 # intrinsic-vector ↔ model bindings: (n_intr, intr→params, project,
-# zhang-init→intr0). The reference tool selects the model by flag
-# (intrinsic_calib.cc --camera-model {pinhole|mei|kannala-brandt|...});
+# zhang-init→intr0[, finalize]). The reference tool selects the model by flag
+# (intrinsic_calib.cc --camera-model {pinhole|mei|kannala-brandt|scaramuzza});
 # every refinement differentiates the SAME projection the runtime uses.
 def _model_bindings():
     from .models import (
         EquidistantParams,
         MeiParams,
         PinholeFullParams,
+        ScaramuzzaParams,
         equidistant_space_to_plane,
         mei_space_to_plane,
         pinhole_full_space_to_plane,
@@ -224,6 +342,39 @@ def _model_bindings():
             lambda fx, fy, cx, cy: [1.0, 2.0 * fx, 2.0 * fy, cx, cy,
                                     0.0, 0.0, 0.0, 0.0],
         ),
+        # Scaramuzza/OCam (intrinsic_calib.cc:102,127 'scaramuzza'): the
+        # reprojection residual exercises only the world2cam inverse
+        # polynomial (+ affine C/D/E + center), so the intrinsic vector is
+        # [ρ-poly(6) in ψ, c, d, e, cx, cy]; the cam2world polynomial is
+        # fitted afterwards from the calibrated inverse
+        # (``_scaramuzza_finalize``). The LM variable is the polynomial in
+        # ψ = π/2 − θ (angle from the optical axis) — the model's raw
+        # θ-basis is centered at π/2 and hopelessly ill-conditioned over a
+        # camera FOV; the ψ→θ coefficient map is the exact constant binomial
+        # matrix ``_PSI2THETA``. Seed: equidistant ρ(ψ) = f·ψ, Zhang focal.
+        "scaramuzza": (
+            11,
+            lambda i: ScaramuzzaParams(
+                # placeholder cam2world poly: the projection residual never
+                # reads it; _scaramuzza_finalize fits the real one
+                poly=jnp.zeros(5, jnp.asarray(i[0]).dtype),
+                inv_poly=jnp.asarray(_PSI2THETA) @ jnp.asarray(i[0:6]),
+                c=jnp.asarray(i[6]), d=jnp.asarray(i[7]), e=jnp.asarray(i[8]),
+                cx=jnp.asarray(i[9]), cy=jnp.asarray(i[10]),
+            ),
+            scaramuzza_project_zfwd,
+            # Zhang's closed form systematically underestimates a fisheye
+            # focal (the homography sees the compressed periphery), so seed a
+            # fan of focal scalings and let the short-LM pre-pass pick
+            # (multi-start; the reference tool's per-model estimateIntrinsics
+            # plays this role)
+            lambda fx, fy, cx, cy: [
+                [0.0, s * 0.5 * (fx + fy), 0.0, 0.0, 0.0, 0.0,
+                 1.0, 0.0, 0.0, cx, cy]
+                for s in (1.0, 1.3, 1.6, 2.0)
+            ],
+            _scaramuzza_finalize,
+        ),
     }
 
 
@@ -240,7 +391,8 @@ def calibrate(model: str, world_xy: np.ndarray, img_pts: list[np.ndarray],
     if model not in bindings:
         raise ValueError(f"unsupported calibration model {model!r} "
                          f"(have {sorted(bindings)})")
-    n_intr, make_params, project, init = bindings[model]
+    n_intr, make_params, project, init, *rest = bindings[model]
+    finalize = rest[0] if rest else None
 
     V = len(img_pts)
     Hs = [homography_dlt(world_xy, p) for p in img_pts]
@@ -250,7 +402,9 @@ def calibrate(model: str, world_xy: np.ndarray, img_pts: list[np.ndarray],
 
     pts_w = jnp.asarray(np.concatenate([world_xy, np.zeros((len(world_xy), 1))], 1))
     pts_px = jnp.asarray(np.stack(img_pts))           # [V,N,2]
-    intr = jnp.asarray(init(fx, fy, cx, cy))
+    seeds = init(fx, fy, cx, cy)
+    multi_start = bool(seeds) and isinstance(seeds[0], list)
+    intr = jnp.asarray(seeds[0] if multi_start else seeds)
     poses = jnp.asarray(poses0)
 
     def residual(intr, pose_tangent, pose0, pts_w, pts_px):
@@ -291,6 +445,18 @@ def calibrate(model: str, world_xy: np.ndarray, img_pts: list[np.ndarray],
         lam = jnp.where(better, lam * 0.5, lam * 4.0)     # LM trust control
         return intr, poses, jnp.clip(lam, 1e-9, 1e3)
 
+    if multi_start:
+        # short-LM pre-pass per seed; keep the lowest-cost basin
+        best = None
+        for s in seeds:
+            i_s, p_s, l_s = jnp.asarray(s), jnp.asarray(poses0), jnp.asarray(1e-4)
+            for _ in range(max(iters // 4, 5)):
+                i_s, p_s, l_s = lm_step(i_s, p_s, l_s)
+            c = float(jnp.sum(all_res(i_s, jnp.zeros((V, 6)), p_s) ** 2))
+            if best is None or c < best[0]:
+                best = (c, i_s, p_s)
+        _, intr, poses = best
+
     lam = jnp.asarray(1e-4)
     for _ in range(iters):
         intr, poses, lam = lm_step(intr, poses, lam)
@@ -298,8 +464,11 @@ def calibrate(model: str, world_xy: np.ndarray, img_pts: list[np.ndarray],
     r = all_res(intr, jnp.zeros((V, 6)), poses)
     rms = float(jnp.sqrt(jnp.mean(jnp.sum(r.reshape(-1, 2) ** 2, axis=-1))))
     i = [float(v) for v in np.asarray(intr)]
-    return CalibResult(params=make_params(i), poses=np.asarray(poses),
-                       rms_px=rms)
+    params = make_params(i)
+    poses = np.asarray(poses)
+    if finalize is not None:
+        params, poses = finalize(params, poses)
+    return CalibResult(params=params, poses=poses, rms_px=rms)
 
 
 def calibrate_pinhole(world_xy: np.ndarray, img_pts: list[np.ndarray],

@@ -263,8 +263,25 @@ def scaramuzza_space_to_plane(cam: ScaramuzzaParams, pts: jax.Array) -> jax.Arra
     return jnp.stack([x, y], axis=-1)
 
 
+_OCAM_FLIP = (1.0, -1.0, -1.0)   # 180° about x: pipeline z-forward ↔ OCam −z
+
+
+def scaramuzza_space_to_plane_zfwd(cam: ScaramuzzaParams, pts: jax.Array) -> jax.Array:
+    """Scaramuzza projection of z-FORWARD camera-frame points — the frame
+    every other model (and the tracker/estimator pipeline) uses. The OCam
+    math itself looks along −z (``theta = atan2(-z, norm)``,
+    ScaramuzzaCamera.cc:632-653), so bridge with a 180° rotation about x."""
+    return scaramuzza_space_to_plane(cam, pts * jnp.asarray(_OCAM_FLIP, pts.dtype))
+
+
 def scaramuzza_lift_projective(cam: ScaramuzzaParams, uv: jax.Array) -> jax.Array:
-    """cam2world: invert the affine, evaluate the forward polynomial -> ray."""
+    """cam2world: invert the affine, evaluate the forward polynomial → ray in
+    the pipeline's z-forward frame. The OCam-frame ray is ``(u, v, −z(ρ))``
+    (ScaramuzzaCamera.cc liftProjective); applying the same 180°-about-x
+    bridge as :func:`scaramuzza_space_to_plane_zfwd` gives ``(u, −v, z)``, so
+    ``project_zfwd ∘ lift`` is the identity by construction (the pair is
+    mutually consistent in ONE frame — the earlier sign-normalized variant
+    silently reversed rays for models whose poly keeps z > 0)."""
     inv_det = 1.0 / jnp.maximum(cam.c - cam.d * cam.e, 1e-12)
     xp = uv[..., 0] - cam.cx
     yp = uv[..., 1] - cam.cy
@@ -274,7 +291,7 @@ def scaramuzza_lift_projective(cam: ScaramuzzaParams, uv: jax.Array) -> jax.Arra
     z = jnp.zeros_like(rho)
     for k in range(cam.poly.shape[0] - 1, -1, -1):
         z = z * rho + cam.poly[k]
-    ray = jnp.stack([u, v, -z], axis=-1)   # -z: OCamCalib looks along -z
+    ray = jnp.stack([u, -v, z], axis=-1)
     return ray / jnp.maximum(jnp.abs(ray[..., 2:3]), 1e-12) * jnp.sign(ray[..., 2:3])
 
 
@@ -339,6 +356,8 @@ def make_camera(model: str, fx: float, fy: float, cx: float, cy: float,
         poly = pad(5)[:5]
         inv_poly = d[5:] if len(d) > 5 else (fx,)   # rho ≈ f·theta fallback
         params = ScaramuzzaParams.make(poly, inv_poly, cx=cx, cy=cy, dtype=dtype)
+        # bind the z-forward pair so project ∘ lift = id in the same frame
+        # convention as every other dispatched model
         return CameraModel("scaramuzza", params, scaramuzza_lift_projective,
-                           scaramuzza_space_to_plane)
+                           scaramuzza_space_to_plane_zfwd)
     raise ValueError(f"unknown camera model {model!r}")

@@ -104,6 +104,11 @@ class TrackerConfig:
     border: int = 5
     depth_min: float = 0.1
     depth_max: float = 7.0
+    # fisheye lens mask (FISHEYE/FISHEYE_MASK, parameters.cpp:95-106 +
+    # config/fisheye_mask_752x480.jpg): features outside the lens circle are
+    # culled and never refilled there. Path to a PGM/NPY 0-255 mask image
+    # ("" = disabled); pixels with value 0 are outside the lens.
+    fisheye_mask_path: str = ""
 
 
 @dataclass(frozen=True)

@@ -60,6 +60,16 @@ class FeatureTracker:
         self.next_id = 0
         self.prev_t: Optional[float] = None
         self.predict_pts: dict[int, tuple[float, float]] = {}
+        # fisheye lens mask (FISHEYE_MASK, parameters.cpp:95-106): 0 =
+        # outside the lens circle; None = disabled
+        self.fisheye_mask: Optional[np.ndarray] = None
+
+    def set_fisheye_mask(self, mask: np.ndarray) -> None:
+        """Install a lens mask (uint8, 0 = cull zone) — the reference loads
+        config/fisheye_mask_752x480.jpg and seeds every refill mask from it
+        (``feature_tracker.cpp setMask``); here it gates both the tracked
+        survivors and the refill candidates."""
+        self.fisheye_mask = np.asarray(mask)
 
     def set_prediction(self, pts_px: dict[int, tuple[float, float]]) -> None:
         """Seed the next LK solve with estimator-predicted pixel positions
@@ -144,6 +154,9 @@ class FeatureTracker:
             xi = np.clip(fwd[:, 0].astype(np.int32), 0, w - 1)
             yi = np.clip(fwd[:, 1].astype(np.int32), 0, h - 1)
             ok = ok & (np.asarray(img, np.float32)[yi, xi] <= 250.0)
+            # fisheye lens-circle cull (FISHEYE_MASK, parameters.cpp:95-106)
+            if self.fisheye_mask is not None:
+                ok = ok & (self.fisheye_mask[yi, xi] > 0)
             # dynamic-object cull (trackImagebox, feature_tracker.cpp:564-606)
             if boxes is not None and len(boxes) > 0:
                 inside = (
@@ -176,7 +189,13 @@ class FeatureTracker:
                 img_j, jnp.asarray(pad_pts), jnp.asarray(pad_valid),
                 self.max_cnt, self.min_dist, self.border,
             )
-            new_pts = np.asarray(new_pts)[np.asarray(new_ok)][:need]
+            new_pts = np.asarray(new_pts)[np.asarray(new_ok)]
+            if self.fisheye_mask is not None and len(new_pts):
+                h, w = img.shape[:2]
+                mx = np.clip(new_pts[:, 0].astype(np.int32), 0, w - 1)
+                my = np.clip(new_pts[:, 1].astype(np.int32), 0, h - 1)
+                new_pts = new_pts[self.fisheye_mask[my, mx] > 0]
+            new_pts = new_pts[:need]
             k = len(new_pts)
             self.prev_pts = np.concatenate([self.prev_pts, new_pts])
             self.ids = np.concatenate(

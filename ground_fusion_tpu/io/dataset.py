@@ -95,6 +95,22 @@ def load_image(path: str) -> np.ndarray:
     raise ValueError(f"unsupported image format: {path}")
 
 
+def load_mask(path: str) -> np.ndarray:
+    """Load a lens/ROI mask as uint8 (0 = cull zone). Accepts .npy, .png,
+    or binary .pgm (the format the offline grid builder writes; the
+    reference ships its fisheye mask as an image file, parameters.cpp:98)."""
+    if path.endswith(".pgm"):
+        with open(path, "rb") as fp:
+            assert fp.readline().strip() == b"P5", "not a binary PGM"
+            dims = fp.readline().split()
+            while dims and dims[0].startswith(b"#"):
+                dims = fp.readline().split()
+            w, h = int(dims[0]), int(dims[1])
+            fp.readline()
+            return np.frombuffer(fp.read(w * h), np.uint8).reshape(h, w)
+    return np.asarray(load_image(path)).astype(np.uint8)
+
+
 @dataclass
 class Sequence:
     root: str

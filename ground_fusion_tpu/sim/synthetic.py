@@ -34,6 +34,24 @@ class SimParams(NamedTuple):
     gyr_noise: float = 0.0
     pix_noise: float = 0.0      # normalized-plane observation noise
     seed: int = 0
+    # --- adversarial-scenario extensions (all default-off; defaults keep the
+    # trajectory bit-identical to the constant-speed circle) ---
+    # smooth stop-and-go: angular speed ramps to 0 over [stop_t1, stop_t2]
+    # with tanh ramps of width stop_tau (the phase integral is closed-form
+    # via log-cosh, so IMU/wheel samples stay exact autodiff derivatives)
+    stop_t1: float = 0.0
+    stop_t2: float = 0.0        # disabled while stop_t2 <= stop_t1
+    stop_tau: float = 0.2
+    # speed modulation: phase += mod_amp * sin(mod_freq * t)
+    omega_mod_amp: float = 0.0
+    omega_mod_freq: float = 0.5
+    # wheel slip: the wheel odometer REPORTS extra body-frame velocity
+    # slip_v during [slip_t1, slip_t2] while the body does not move that way
+    # (the `anamoly.bag` scenario, reference README.md:171-186)
+    slip_t1: float = 0.0
+    slip_t2: float = 0.0        # disabled while slip_t2 <= slip_t1
+    slip_v: tuple = (0.0, 0.0, 0.0)
+    slip_tau: float = 0.05
 
 
 def body_T_cam(dtype=jnp.float64) -> jax.Array:
@@ -42,18 +60,45 @@ def body_T_cam(dtype=jnp.float64) -> jax.Array:
     return pose(jnp.zeros(3, dtype), mat_to_quat(R))
 
 
+def _logcosh(x):
+    """Overflow-safe log(cosh(x)) = |x| + softplus(-2|x|) - log 2."""
+    a = jnp.abs(x)
+    return a + jnp.log1p(jnp.exp(-2.0 * a)) - jnp.log(2.0)
+
+
+def _phase_of_t(t, sp: SimParams):
+    """Angular phase φ(t) along the circle. Constant-speed by default;
+    stop-and-go and speed modulation enter as closed-form phase terms so
+    every sensor sample stays an exact autodiff derivative:
+
+    φ̇ = ω·s(t) with s(t) = 1 − ½[tanh((t−t1)/τ) − tanh((t−t2)/τ)]
+    ⇒ φ = ω·(t − ½τ[logcosh((t−t1)/τ) − logcosh((t−t2)/τ)])
+    """
+    phi = sp.omega * t
+    if sp.stop_t2 > sp.stop_t1:                       # static Python gate
+        tau = sp.stop_tau
+        phi = sp.omega * (
+            t - 0.5 * tau * (_logcosh((t - sp.stop_t1) / tau)
+                             - _logcosh((t - sp.stop_t2) / tau))
+        )
+    if sp.omega_mod_amp != 0.0:
+        phi = phi + sp.omega_mod_amp * jnp.sin(sp.omega_mod_freq * t)
+    return phi
+
+
 def _p_of_t(t, sp: SimParams):
+    phi = _phase_of_t(t, sp)
     return jnp.stack(
         [
-            sp.radius * jnp.cos(sp.omega * t),
-            sp.radius * jnp.sin(sp.omega * t),
+            sp.radius * jnp.cos(phi),
+            sp.radius * jnp.sin(phi),
             sp.z_amp * jnp.sin(0.5 * t),
         ]
     )
 
 
 def _ypr_of_t(t, sp: SimParams):
-    yaw = sp.omega * t + jnp.pi / 2.0
+    yaw = _phase_of_t(t, sp) + jnp.pi / 2.0
     return jnp.stack([yaw, jnp.zeros_like(t), jnp.zeros_like(t)])
 
 
@@ -86,14 +131,22 @@ def imu_sample(t, sp: SimParams):
 
 def wheel_sample(t, sp: SimParams):
     """Body-frame velocity + gyro (the wheel odometer's measurement model,
-    ``rosNodeTest.cpp:81-188``)."""
+    ``rosNodeTest.cpp:81-188``). A configured slip window adds phantom
+    body-frame velocity the body never had — the wheels-spinning-in-place
+    corner case the anomaly gate exists for (``estimator.cpp:629-654``,
+    demoed by the reference's `anamoly.bag`)."""
     t = jnp.asarray(t, jnp.float64)
     v = jax.jacfwd(lambda s: _p_of_t(s, sp))(t)
     _, R = gt_pose(t, sp)
     Rdot = jax.jacfwd(lambda s: ypr_to_mat(_ypr_of_t(s, sp)))(t)
     omega_hat = R.T @ Rdot
     gyr = jnp.stack([omega_hat[2, 1], omega_hat[0, 2], omega_hat[1, 0]])
-    return R.T @ v, gyr
+    v_body = R.T @ v
+    if sp.slip_t2 > sp.slip_t1:                       # static Python gate
+        box = 0.5 * (jnp.tanh((t - sp.slip_t1) / sp.slip_tau)
+                     - jnp.tanh((t - sp.slip_t2) / sp.slip_tau))
+        v_body = v_body + box * jnp.asarray(sp.slip_v, v_body.dtype)
+    return v_body, gyr
 
 
 def make_landmarks(n: int, sp: SimParams, seed: int = 1) -> np.ndarray:

@@ -46,6 +46,10 @@ class GroundFusionSystem:
             iters=cfg.tracker.lk_iters,
         )
         self.tracker.baseline = cfg.camera.baseline
+        if cfg.tracker.fisheye_mask_path:
+            from .io.dataset import load_mask
+
+            self.tracker.set_fisheye_mask(load_mask(cfg.tracker.fisheye_mask_path))
         self.cam = cam
 
         self.line_tracker = None

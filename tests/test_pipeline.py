@@ -23,9 +23,12 @@ DT = jnp.float64
 
 
 def run_pipeline(n_frames=35, pix_noise=0.0, with_depth=True, seed=0, cfg=None,
-                 n_landmarks=200, burst=0):
+                 n_landmarks=200, burst=0, sp=None, drop_feats=None):
+    """``sp``: override SimParams (adversarial scenarios); ``drop_feats``:
+    optional ``fn(frame_idx) -> keep_fraction`` culling the feature dict (the
+    feature-starvation scenario)."""
     cfg = cfg if cfg is not None else Config()
-    sp = SimParams(pix_noise=pix_noise, seed=seed)
+    sp = sp if sp is not None else SimParams(pix_noise=pix_noise, seed=seed)
     est = Estimator(cfg, dtype=DT)
     if burst:
         est.enable_burst(burst)
@@ -59,12 +62,16 @@ def run_pipeline(n_frames=35, pix_noise=0.0, with_depth=True, seed=0, cfg=None,
         uv, z, vis = np.asarray(uv), np.asarray(z), np.asarray(vis)
         if pix_noise > 0:
             uv = uv + rng.normal(0, pix_noise, uv.shape)
+        keep_ids = np.nonzero(vis)[0]
+        if drop_feats is not None:
+            frac = float(drop_feats(k))
+            keep_ids = keep_ids[: max(0, int(round(frac * len(keep_ids))))]
         feats = {
             int(i): FrameFeature(
                 x=float(uv[i, 0]), y=float(uv[i, 1]),
                 depth=float(z[i]) if with_depth else 0.0,
             )
-            for i in np.nonzero(vis)[0]
+            for i in keep_ids
         }
         est.input_frame(t, feats)
         gt.append((t, np.asarray(gt_pose7(t, sp))))
@@ -170,11 +177,13 @@ def test_e2e_vio_wheel_ate_noisy():
     assert ate < 0.15, f"ATE {ate:.4f} m with 1.5px noise"
 
 
-def _run_gnss_pipeline(burst=0, epoch_every=1, n_frames=30):
+def _run_gnss_pipeline(burst=0, epoch_every=1, n_frames=30, outage=None):
     """GNSS-enabled E2E: synthetic satellites + pseudorange/Doppler epochs;
     the pipeline must align (yaw/anchor) and keep ATE low with the GNSS
     factor stack active. ``burst``: enable chunked replay (auto-flushes
-    around epochs); ``epoch_every``: frames between GNSS epochs."""
+    around epochs); ``epoch_every``: frames between GNSS epochs;
+    ``outage``: optional (k0, k1) frame range with NO epochs — the
+    tunnel/canyon outage + re-acquisition scenario."""
     import dataclasses
 
     from ground_fusion_tpu.gnss.coords import (
@@ -277,7 +286,8 @@ def _run_gnss_pipeline(burst=0, epoch_every=1, n_frames=30):
         # epochs arrive every frame until VI alignment succeeds (alignment
         # needs ≥5 filtered epochs), then at the sparse cadence — the
         # realistic profile of a 1 Hz receiver against a 15 Hz camera
-        if k % epoch_every == 0 or not est.gnss_aligned:
+        in_outage = outage is not None and outage[0] <= k < outage[1]
+        if (k % epoch_every == 0 or not est.gnss_aligned) and not in_outage:
             est.input_gnss(t, epoch_for(t))
         uv, z, vis = project_landmarks(gt_pose7(t, sp), ex, pts_w)
         uv, z, vis = np.asarray(uv), np.asarray(z), np.asarray(vis)
@@ -312,6 +322,9 @@ def _run_gnss_pipeline(burst=0, epoch_every=1, n_frames=30):
     p_ecef_true = anc_true + R @ p_local_true
     ecef_err = np.linalg.norm(p_ecef_est - p_ecef_true)
     assert ecef_err < 1.0, f"ECEF position error {ecef_err:.2f} m"
+    # stash the metrics for external harnesses (scripts/parity_tpu.py)
+    est.last_ate = ate
+    est.last_ecef_err = float(ecef_err)
     return est
 
 
