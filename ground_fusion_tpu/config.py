@@ -188,6 +188,13 @@ class LoopConfig:
     # vocabulary scores unrelated scenes ≈ 0.15 and true revisits ≈ 0.8
     bow_score_best: float = 0.30
     bow_score_min: float = 0.25
+    # optional trained DBoW2 vocabulary (the reference's
+    # support_files/brief_k10L6.bin, pose_graph_node.cpp:788-790): when set,
+    # place recognition quantizes through that tree and scores with DBoW2's
+    # TF-IDF L1, so the reference gates apply verbatim (see dbow_score_*)
+    vocab_path: str = ""
+    dbow_score_best: float = 0.05     # pose_graph.cpp:476-480 gates for the
+    dbow_score_min: float = 0.015     # trained-vocabulary operating point
     hamming_thresh: int = 80          # keyframe.cpp:215
     pnp_reproj_px: float = 10.0       # keyframe.cpp:299-305
     min_matches: int = 25

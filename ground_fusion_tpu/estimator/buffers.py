@@ -39,6 +39,12 @@ class WheelWindowBuffer(NamedTuple):
     valid: jax.Array  # [F, K] bool
     vel0: jax.Array   # [F, 3]
     gyr0: jax.Array   # [F, 3]
+    # per-interval anomaly flag, set ONCE at the interval's first solve from
+    # the wheel-vs-IMU dead-reckoning test (estimator.cpp:629-636) and slid
+    # with the window: a slip-contaminated interval stays excluded for its
+    # whole window lifetime (divergence from the reference, which re-admits
+    # contaminated intervals once its newest-interval flag clears)
+    bad: jax.Array    # [F] bool
 
 
 def empty_imu_buffer(num_frames: int, cap: int, dtype=jnp.float32) -> ImuWindowBuffer:
@@ -53,6 +59,7 @@ def empty_imu_buffer(num_frames: int, cap: int, dtype=jnp.float32) -> ImuWindowB
 def empty_wheel_buffer(num_frames: int, cap: int, dtype=jnp.float32) -> WheelWindowBuffer:
     f, k = num_frames, cap
     return WheelWindowBuffer(
+        bad=jnp.zeros((f,), bool),
         dts=jnp.zeros((f, k), dtype), vel=jnp.zeros((f, k, 3), dtype),
         gyr=jnp.zeros((f, k, 3), dtype), valid=jnp.zeros((f, k), bool),
         vel0=jnp.zeros((f, 3), dtype), gyr0=jnp.zeros((f, 3), dtype),
@@ -109,6 +116,7 @@ def slide_old_wheel_buffer(buf: WheelWindowBuffer) -> WheelWindowBuffer:
         valid=jnp.roll(buf.valid, -1, axis=0).at[-1].set(False),
         vel0=jnp.roll(buf.vel0, -1, axis=0),
         gyr0=jnp.roll(buf.gyr0, -1, axis=0),
+        bad=jnp.roll(buf.bad, -1, axis=0).at[-1].set(False),
     )
 
 
@@ -181,4 +189,7 @@ def slide_new_wheel_buffer(buf: WheelWindowBuffer) -> WheelWindowBuffer:
         valid=buf.valid.at[f - 2].set(v).at[f - 1].set(False),
         vel0=buf.vel0,
         gyr0=buf.gyr0,
+        # a merged interval is bad if either constituent was
+        bad=buf.bad.at[f - 2].set(buf.bad[f - 2] | buf.bad[f - 1])
+                   .at[f - 1].set(False),
     )

@@ -61,6 +61,45 @@ def remove_outliers(tracks: Tracks, remove: jax.Array) -> Tracks:
     )
 
 
+def wheel_body_deltas(state: WindowState, wheel_pre) -> jax.Array:
+    """ΔP_wheel[k]: wheel-implied body translation over interval (k-1, k] —
+    ``T_io ∘ ΔT_o ∘ T_io⁻¹`` translation part (estimator.cpp:629-636)."""
+    from ..geometry.so3 import quat_rotate, quat_rotate_inv
+
+    q_io = state.ex_wheel[3:7]
+    t_io = state.ex_wheel[0:3]
+    t_o = quat_rotate_inv(q_io, t_io)
+    dq_b = jax.vmap(
+        lambda dq: quat_rotate(q_io, quat_rotate(dq, t_o)))(wheel_pre.delta_q)
+    return (t_io[None, :]
+            + jax.vmap(lambda dp: quat_rotate(q_io, dp))(wheel_pre.delta_p)
+            - dq_b)                                            # [F,3]
+
+
+def newest_wheel_anomaly(state: WindowState, imu_pre, wheel_pre, g,
+                         anomaly_thresh: float) -> jax.Array:
+    """Wheel slip/bump test over the NEWEST interval — the reference's
+    wheel-vs-IMU dead-reckoning comparison at measurement time
+    (``estimator.cpp:629-636``): ``‖ΔP_wheel − ΔP_imu‖ > thresh`` with
+    ΔP_imu = v·dt − ½g·dt² rotated into body + the preintegrated Δp.
+    Evaluated ONCE per interval (at its first solve, when the window is
+    converged) and then PERSISTED in ``WheelWindowBuffer.bad`` — a
+    state-derived per-slot recomputation is self-referential (a bad window
+    would disable the wheel factors that fix it) and the stationary freeze
+    legitimately zeroes window velocities, which would poison older slots'
+    v·dt terms."""
+    from ..geometry.so3 import quat_rotate_inv
+
+    f = state.poses.shape[0]
+    j = f - 1
+    dt = imu_pre.sum_dt[j]
+    q_i = state.poses[j - 1, 3:7]
+    v_body = quat_rotate_inv(q_i, state.sbs[j - 1, 0:3] * dt - 0.5 * g * dt * dt)
+    dp_imu = v_body + imu_pre.delta_p[j]
+    dp_wheel = wheel_body_deltas(state, wheel_pre)[j]
+    return jnp.linalg.norm(dp_wheel - dp_imu) > anomaly_thresh
+
+
 def device_frame_gates(state: WindowState, tracks: Tracks, imu_buf, imu_pre,
                        wheel_pre, g: jax.Array, focal: float,
                        acc_var_thresh: float, parallax_px_thresh: float,
@@ -70,29 +109,19 @@ def device_frame_gates(state: WindowState, tracks: Tracks, imu_buf, imu_pre,
     window buffers/preintegrations already on device — replaces the host
     per-sample dead-reckoning loops (VERDICT r2 weak #4).
 
-    Returns (wheel_anomaly [], stationary []) booleans:
-      - ΔP_imu: the IMU-implied body-frame-(F-2) translation over (F-2, F-1]
-        (v·dt − ½g·dt² rotated into body + preintegrated Δp);
-      - ΔP_wheel: the wheel-implied body translation T_io ∘ ΔT_o ∘ T_io⁻¹;
-      - anomaly: ‖ΔP_wheel − ΔP_imu‖ > thresh (wheel slip/bump);
+    Returns (wheel_anomaly [], stationary []):
+      - anomaly: :func:`newest_wheel_anomaly` over the newest interval; the
+        caller persists it per interval in ``WheelWindowBuffer.bad`` so a
+        contaminated interval stays excluded for its whole window lifetime
+        (the reference re-admits them once its flag clears,
+        estimator.cpp:3132-3136 — documented divergence);
       - stationary: 2-of-3 vote over accel variance, tracked parallax
-        between the two newest frames, and ‖ΔP_wheel‖.
+        between the two newest frames, and ‖ΔP_wheel‖ of the newest interval.
     """
-    from ..geometry.so3 import quat_rotate, quat_rotate_inv
-
     f = state.poses.shape[0]
+    anomaly = newest_wheel_anomaly(state, imu_pre, wheel_pre, g, anomaly_thresh)
     j = f - 1
-    dt = imu_pre.sum_dt[j]
-    q_i = state.poses[j - 1, 3:7]
-    v_body = quat_rotate_inv(q_i, state.sbs[j - 1, 0:3] * dt - 0.5 * g * dt * dt)
-    dp_imu = v_body + imu_pre.delta_p[j]
-
-    q_io = state.ex_wheel[3:7]
-    t_io = state.ex_wheel[0:3]
-    dq_b = quat_rotate(q_io, quat_rotate(wheel_pre.delta_q[j], quat_rotate_inv(q_io, t_io)))
-    dp_wheel = t_io + quat_rotate(q_io, wheel_pre.delta_p[j]) - dq_b
-
-    anomaly = jnp.linalg.norm(dp_wheel - dp_imu) > anomaly_thresh
+    dp_wheel = wheel_body_deltas(state, wheel_pre)[j]
 
     # stationary vote 1: accel variance over the newest interval's samples
     acc = imu_buf.acc[j]

@@ -164,14 +164,17 @@ def make_window_step_packed(cfg: Config, template_core: EstimatorCore):
     crosses the dispatch boundary as 3 flat arrays instead of ~50 leaves.
     Returns (jitted step over blobs, pack, unpack, layout).
 
-    Measured 5× the pytree live path (3.7k → 18.6k steps/s through the TPU
-    tunnel, bench.py ``live_packed_steps_per_s``). Not yet the pipeline
-    default: the host pump reads the pytree core every frame (keyframe gate,
-    prediction seeding, calibration dump), and one unpack dispatch per frame
-    would hand the saving back — wiring it needs the burst path's host-mirror
-    scheme extended to live mode (all reads served from NumPy mirrors, device
-    state packed end-to-end). Replay/offline surfaces already use the burst
-    program, which amortizes dispatch further than packing can."""
+    Historical note (round-5 correction): rounds 1-4 measured this at "5× the
+    pytree live path", but that timing was a dispatch-rate artifact —
+    ``block_until_ready`` did not actually block on the tunnel platform (see
+    bench.py). With real completion timing the per-frame cost is one ~25 ms
+    tunnel round trip + ~10 ms device step either way; argument marshalling
+    is noise next to both, and the device core never leaves HBM between
+    dispatches. The production live/latency path is therefore
+    ``pipeline.Estimator.enable_live`` (one fused ingest+step dispatch + one
+    batched fetch per frame), not blob packing; this program is kept for the
+    codec round-trip guarantees (``tests/test_burst.py``) and for hosts with
+    genuinely high per-leaf dispatch cost."""
     step, layout = _build_step(cfg)
     pack, unpack = make_packed_codec(template_core)
 
@@ -187,16 +190,15 @@ def make_window_burst(cfg: Config):
     dispatch via ``lax.scan`` — ``burst(core, flags_batch)`` where every leaf
     of ``flags_batch`` carries a leading chunk axis K.
 
-    Rationale (measured on the TPU tunnel): one window step's device time is
-    ~20 µs but dispatching its 53-leaf core pytree costs ~150 µs of host/
-    tunnel overhead — a trivial identity jit over the same pytree measures the
-    same 150 µs as the full estimator step. Sequential keyframe solves are
-    therefore dispatch-bound, and the TPU-native fix is to keep the
-    core↔device round-trip out of the per-frame path: scan the step body so K
-    keyframes cost one dispatch. This is the offline/replay analog of the
-    reference's measurement pump (``processMeasurements`` drains everything
-    available, ``estimator.cpp:526-711``); outputs are stacked per step, so
-    the full per-keyframe odometry stream is preserved.
+    Rationale (round-5 corrected timings): through the remote TPU tunnel each
+    dispatch + completion fetch costs a ~25 ms round trip while the window
+    step's device time is ~10 ms (bench.py chain-differenced protocol), so
+    sequential per-frame dispatch wastes >2× the device time in transport.
+    Scanning the step body makes K keyframes cost one dispatch, amortizing
+    the round trip to ~25/K ms per frame. This is the offline/replay analog
+    of the reference's measurement pump (``processMeasurements`` drains
+    everything available, ``estimator.cpp:526-711``); outputs are stacked per
+    step, so the full per-keyframe odometry stream is preserved.
     """
     step, layout = _build_step(cfg)
 
@@ -357,7 +359,16 @@ def make_window_burst_ingest(cfg: Config):
         return step(core, flags)
 
     def burst(core: EstimatorCore, xs_batch: dict):
-        return jax.lax.scan(body, core, xs_batch)
+        core_new, outs = jax.lax.scan(body, core, xs_batch)
+        # post-chunk mirror tables, computed INSIDE the same dispatch so the
+        # host reconciles its NumPy mirrors from the flush's single batched
+        # fetch instead of a second round trip (live/latency mode: a chunk of
+        # 1 frame then costs exactly one dispatch + one fetch)
+        mirrors = [core_new.tracks.obs_valid, core_new.tracks.active,
+                   core_new.tracks.obs[..., 0:2]]
+        if cfg.use_line and core_new.lines is not None:
+            mirrors += [core_new.lines.obs_valid, core_new.lines.active]
+        return core_new, outs, tuple(mirrors)
 
     return jax.jit(burst), layout
 
@@ -384,11 +395,14 @@ def _build_step(cfg: Config):
             core.wheel_buf, state.s_wheel, state.td_wheel, n12
         )
 
-        # device-side anomaly/stationarity gates over the newest interval
-        # (estimator.cpp:614-654, 870-896) — OR-combined with any host
-        # overrides arriving through the flags
+        # device-side anomaly/stationarity gates (estimator.cpp:614-654,
+        # 870-896) — OR-combined with any host overrides arriving through
+        # the flags. The newest interval's wheel-vs-IMU anomaly test runs
+        # ONCE here and is PERSISTED in wheel_buf.bad, which the slides
+        # carry — a contaminated interval stays excluded for its whole
+        # window lifetime (gates.newest_wheel_anomaly)
         stationary = flags.stationary
-        wheel_anomaly = jnp.asarray(False)
+        wheel_buf = core.wheel_buf
         if cfg.wdetect or cfg.stationary_detect:
             from .gates import device_frame_gates
 
@@ -399,7 +413,9 @@ def _build_step(cfg: Config):
                 cfg.init.wheel_stationary_dp, cfg.wheel.anomaly_thresh,
             )
             if cfg.wdetect:
-                wheel_anomaly = anomaly_dev
+                wheel_buf = wheel_buf._replace(
+                    bad=wheel_buf.bad.at[f - 1].set(anomaly_dev))
+                core = core._replace(wheel_buf=wheel_buf)
             if cfg.stationary_detect:
                 stationary = stationary | stationary_dev
 
@@ -438,10 +454,13 @@ def _build_step(cfg: Config):
             state = state._replace(poses=poses, sbs=sbs)
         wheel_valid = flags.wheel_valid if cfg.wheel.enabled else jnp.zeros(f, bool)
         if cfg.wheel.enabled and cfg.wdetect:
-            # skip the wheel factor on the anomalous newest interval
-            # (estimator.cpp:3132-3136)
-            wheel_valid = wheel_valid.at[f - 1].set(
-                wheel_valid[f - 1] & ~wheel_anomaly)
+            # persistent per-interval anomaly flags: slot F-1 was just
+            # evaluated; older slots keep the verdict from THEIR first solve
+            # and slide/merge with the buffers (the reference skips all wheel
+            # factors while its newest-interval flag is up,
+            # estimator.cpp:3132-3136, then re-admits contaminated intervals
+            # when it clears — here they stay out)
+            wheel_valid = wheel_valid & ~wheel_buf.bad
         plane_valid = (
             jnp.ones(f, bool) if cfg.plane.enabled else jnp.zeros(f, bool)
         )
@@ -557,7 +576,7 @@ def _build_step(cfg: Config):
         def _slide_gnss_new(o):
             if o is None:
                 return None
-            fz = o.psr.shape[0]
+            fz = o.valid.shape[0]
             return jax.tree_util.tree_map(
                 lambda a: a.at[fz - 2].set(a[fz - 1]).at[fz - 1].set(jnp.zeros_like(a[fz - 1])), o
             )

@@ -415,12 +415,27 @@ class PoseGraph:
         # initial DB allocation only — the database and keyframe list are
         # unbounded (the DB doubles, optimize() pads to power-of-two buckets)
         self.max_kf = max_kf
-        self.db = KeyframeDatabase(
-            capacity=max_kf,
-            score_best=cfg.loop.bow_score_best,
-            score_min=cfg.loop.bow_score_min,
-            min_gap=cfg.loop.min_loop_gap,
-        )
+        if getattr(cfg.loop, "vocab_path", ""):
+            # trained DBoW2 vocabulary (brief_k10L6.bin import,
+            # pose_graph_node.cpp:788-790): reference-comparable scores, so
+            # the reference's own gates apply
+            from .dbow_vocab import DBoW2Vocabulary, SparseBowDatabase
+
+            self.vocab = DBoW2Vocabulary.load_binary(cfg.loop.vocab_path)
+            self.db = SparseBowDatabase(
+                self.vocab, capacity=max_kf,
+                score_best=cfg.loop.dbow_score_best,
+                score_min=cfg.loop.dbow_score_min,
+                min_gap=cfg.loop.min_loop_gap,
+            )
+        else:
+            self.vocab = None
+            self.db = KeyframeDatabase(
+                capacity=max_kf,
+                score_best=cfg.loop.bow_score_best,
+                score_min=cfg.loop.bow_score_min,
+                min_gap=cfg.loop.min_loop_gap,
+            )
         self.sel = jnp.asarray(word_selector())
         pa, pb = brief_pattern()
         self.pat_a = jnp.asarray(pa)
@@ -460,8 +475,11 @@ class PoseGraph:
         pose[3:7] = np.asarray(mat_to_quat(jnp.asarray(self.r_drift @ R)))
         kf = kf._replace(pose=pose, vio_pose=vio_pose)
 
-        hist = bow_histogram(words_of(jnp.asarray(kf.desc), jnp.asarray(kf.kp_ok),
-                                      self.sel))
+        if self.vocab is not None:
+            hist = self.db.bow_vector(kf.desc, kf.kp_ok)
+        else:
+            hist = bow_histogram(words_of(jnp.asarray(kf.desc),
+                                          jnp.asarray(kf.kp_ok), self.sel))
         # loop_idx is a KEYFRAME index (the DB maps slots → kf indices
         # internally); kf.index is the sequential insertion index, so it is
         # also the position in self.kfs

@@ -42,16 +42,28 @@ class GnssObsWindow(NamedTuple):
     """Padded per-window satellite observations ([F, S] slots; slot (k, s)
     is an epoch bracketed by frames k and k+1 with interpolation ``ratio``
     and receiver clock dt[k]/ddt[k] — the reference's ``gnss_meas_buf[i]`` ↔
-    ``para_rcv_dt + i·4`` pairing, estimator.cpp:3178-3207)."""
+    ``para_rcv_dt + i·4`` pairing, estimator.cpp:3178-3207).
 
-    sat_pos: jax.Array    # [F,S,3] ECEF at transmit time
-    sat_vel: jax.Array    # [F,S,3]
-    psr: jax.Array        # [F,S] measured pseudorange (m)
-    dopp_wl: jax.Array    # [F,S] doppler × wavelength (m/s, reference sign)
-    svdt: jax.Array       # [F,S] sat clock bias (s)
-    svddt: jax.Array      # [F,S] sat clock drift (s/s)
-    atm_delay: jax.Array  # [F,S] iono+tropo delay (m), host-precomputed
-    tgd: jax.Array        # [F,S] group delay (s)
+    REDUCED-OBSERVABLE form (round 5, f32 production viability): the
+    reference evaluates absolute ECEF pseudorange geometry in Ceres doubles;
+    at f32 the ~2.4e7 m ranges quantize at ~2 m and the anchor at ~0.4 m, so
+    tight GNSS cannot work on the TPU's native dtype. Here every observation
+    is reduced at HOST ingest (float64, :meth:`..gnss.ingest.reduce_obs`)
+    against the alignment-time expansion anchor ``anc0``/its ENU rotation
+    ``R0``, and the device residual touches only SMALL well-conditioned
+    quantities: the state's anchor column becomes the ENU delta from anc0,
+    range enters as the stable quadratic correction
+    ``Δrng = (|d|² − 2 d·rvec0)/(rng0 + rng)``, and both Sagnac terms enter
+    through precomputed direction vectors. Device math error < 1e-4 m at
+    f32 (vs ~2 m for the absolute form)."""
+
+    rvec0: jax.Array      # [F,S,3] R0ᵀ·(sat_pos − anc0)  (ENU, from anc0)
+    rng0: jax.Array       # [F,S] ‖sat_pos − anc0‖ (denominators/units only)
+    psr_red: jax.Array    # [F,S] psr − rng0 − sagnac0 + svdt·c − atm − tgd·c
+    dopp_red: jax.Array   # [F,S] dopp_wl − svddt·c + Ω/c·ẑ·(sv_vel × anc0)
+    sv_vel: jax.Array     # [F,S,3] R0ᵀ·sat velocity (ENU)
+    sagnac_vec: jax.Array  # [F,S,3] Ω/c·R0ᵀ·(ẑ_ecef × sat_pos)
+    dsag_vec: jax.Array   # [F,S,3] Ω/c·R0ᵀ·(ẑ_ecef × sv_vel)
     sys: jax.Array        # [F,S] int32 constellation 0..3
     pr_weight: jax.Array  # [F,S] sin(el)²/pr_uura · 10
     dp_weight: jax.Array  # [F,S] sin(el)²/dp_uura · 10 · PSR_TO_DOPP_RATIO
@@ -63,9 +75,10 @@ class GnssObsWindow(NamedTuple):
 def empty_gnss_obs(num_frames: int, max_sats: int, dtype=jnp.float32) -> GnssObsWindow:
     f, s = num_frames, max_sats
     z = jnp.zeros((f, s), dtype)
+    z3 = jnp.zeros((f, s, 3), dtype)
     return GnssObsWindow(
-        sat_pos=jnp.zeros((f, s, 3), dtype), sat_vel=jnp.zeros((f, s, 3), dtype),
-        psr=z, dopp_wl=z, svdt=z, svddt=z, atm_delay=z, tgd=z,
+        rvec0=z3, rng0=z, psr_red=z, dopp_red=z, sv_vel=z3,
+        sagnac_vec=z3, dsag_vec=z3,
         sys=jnp.zeros((f, s), jnp.int32), pr_weight=z, dp_weight=z,
         ratio=z, valid=jnp.zeros((f, s), bool),
     )
@@ -95,9 +108,20 @@ def ecef2rotation_j(ref: jax.Array) -> jax.Array:
     ])
 
 
-def psr_dopp_residual_raw(Pi, Vi, Pj, Vj, rcv_dt, rcv_ddt, yaw_enu, anc_ecef, o):
-    """The 2-dim (psr, dopp) residual of gnss_psr_dopp_factor.cpp:51-106,
-    already multiplied by the elevation/URA weights."""
+def psr_dopp_residual_raw(Pi, Vi, Pj, Vj, rcv_dt, rcv_ddt, yaw_enu, danc_enu, o):
+    """The 2-dim (psr, dopp) residual of gnss_psr_dopp_factor.cpp:51-106 in
+    the REDUCED-OBSERVABLE form (see :class:`GnssObsWindow`), already
+    multiplied by the elevation/URA weights. ``danc_enu`` is the anchor's
+    ENU delta from the host-side expansion anchor anc0; every quantity here
+    is O(km) or smaller, so the math is f32-stable.
+
+    Range correction: with d = receiver ENU offset from anc0,
+    ``rng² = rng0² − 2 d·rvec0 + |d|²``, so
+    ``Δrng = rng − rng0 = q / (rng0 + rng)`` with ``q = |d|² − 2 d·rvec0``,
+    evaluated by one fixed-point pass — catastrophic-cancellation-free.
+    Sagnac terms use ``ẑ·(a × b)`` identities:
+    ``ẑ·(sat × P) = ẑ·(sat × anc0) + (Ω/c·R0ᵀ(ẑ × sat))·d`` (constant part
+    folded into psr_red at ingest; the direction vector is precomputed)."""
     ratio = o["ratio"]
     local_pos = ratio * Pi + (1.0 - ratio) * Pj
     local_vel = ratio * Vi + (1.0 - ratio) * Vj
@@ -107,27 +131,21 @@ def psr_dopp_residual_raw(Pi, Vi, Pj, Vj, rcv_dt, rcv_ddt, yaw_enu, anc_ecef, o)
         jnp.stack([sy, cy, jnp.zeros_like(cy)]),
         jnp.stack([jnp.zeros_like(cy), jnp.zeros_like(cy), jnp.ones_like(cy)]),
     ])
-    R_ecef_local = ecef2rotation_j(anc_ecef) @ R_enu_local
-    P_ecef = R_ecef_local @ local_pos + anc_ecef
-    V_ecef = R_ecef_local @ local_vel
+    d = R_enu_local @ local_pos + danc_enu          # receiver ENU offset
+    V = R_enu_local @ local_vel                     # receiver ENU velocity
 
-    sv_pos, sv_vel = o["sat_pos"], o["sat_vel"]
-    rcv2sat = sv_pos - P_ecef
-    rng = jnp.linalg.norm(rcv2sat)
-    unit = rcv2sat / jnp.maximum(rng, 1e-6)
+    rvec0, rng0 = o["rvec0"], o["rng0"]
+    q = jnp.dot(d, d) - 2.0 * jnp.dot(d, rvec0)
+    drng = q / (2.0 * rng0)
+    drng = q / (2.0 * rng0 + drng)                  # q/(rng0+rng), one pass
+    r0 = (drng + jnp.dot(o["sagnac_vec"], d) + rcv_dt - o["psr_red"]) \
+        * o["pr_weight"]
 
-    psr_sagnac = EARTH_OMG * (sv_pos[0] * P_ecef[1] - sv_pos[1] * P_ecef[0]) / LIGHT_SPEED
-    psr_est = (rng + psr_sagnac + rcv_dt - o["svdt"] * LIGHT_SPEED
-               + o["atm_delay"] + o["tgd"] * LIGHT_SPEED)
-    r0 = (psr_est - o["psr"]) * o["pr_weight"]
-
-    dopp_sagnac = EARTH_OMG / LIGHT_SPEED * (
-        sv_vel[0] * P_ecef[1] + sv_pos[0] * V_ecef[1]
-        - sv_vel[1] * P_ecef[0] - sv_pos[1] * V_ecef[0]
-    )
-    dopp_est = jnp.dot(sv_vel - V_ecef, unit) + dopp_sagnac + rcv_ddt \
-        - o["svddt"] * LIGHT_SPEED
-    r1 = (dopp_est + o["dopp_wl"]) * o["dp_weight"]
+    unit = (rvec0 - d) / jnp.maximum(rng0 + drng, 1e-6)
+    dopp_est = (jnp.dot(o["sv_vel"] - V, unit)
+                + jnp.dot(o["dsag_vec"], d) + jnp.dot(o["sagnac_vec"], V)
+                + rcv_ddt)
+    r1 = (dopp_est + o["dopp_red"]) * o["dp_weight"]
     return jnp.stack([r0, r1])
 
 
@@ -140,7 +158,7 @@ def linearize_gnss_psr_dopp(state: WindowState, obs: GnssObsWindow,
     δanc(3)] = 16 columns (the position/velocity parts of the bracketing
     frames — the factor never touches rotations, matching the reference's
     <2,7,9,7,9,1,1,1,3> zero blocks)."""
-    f, s = obs.psr.shape
+    f, s = obs.valid.shape
     dtype = state.poses.dtype
     ks = jnp.repeat(jnp.arange(f), s)          # epoch slot k ↔ frames (k, k+1)
     kj = jnp.minimum(ks + 1, f - 1)
@@ -153,10 +171,10 @@ def linearize_gnss_psr_dopp(state: WindowState, obs: GnssObsWindow,
     def one(b):
         kp, k = ks[b], kj[b]                   # i = slot, j = slot + 1
         o = {
-            "sat_pos": flat.sat_pos[b], "sat_vel": flat.sat_vel[b],
-            "psr": flat.psr[b], "dopp_wl": flat.dopp_wl[b],
-            "svdt": flat.svdt[b], "svddt": flat.svddt[b],
-            "atm_delay": flat.atm_delay[b], "tgd": flat.tgd[b],
+            "rvec0": flat.rvec0[b], "rng0": flat.rng0[b],
+            "psr_red": flat.psr_red[b], "dopp_red": flat.dopp_red[b],
+            "sv_vel": flat.sv_vel[b],
+            "sagnac_vec": flat.sagnac_vec[b], "dsag_vec": flat.dsag_vec[b],
             "pr_weight": flat.pr_weight[b], "dp_weight": flat.dp_weight[b],
             "ratio": flat.ratio[b],
         }

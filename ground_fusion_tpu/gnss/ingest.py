@@ -16,9 +16,39 @@ from __future__ import annotations
 
 import numpy as np
 
-from .coords import ecef2geo, sat_azel
+from .coords import EARTH_OMG, LIGHT_SPEED, ecef2geo, ecef2rotation, sat_azel
 from .ephemeris import klobuchar_iono, saastamoinen_tropo
 from .factors import PSR_TO_DOPP_RATIO, RELATIVE_SQRT_INFO
+
+
+def reduce_obs(anc0: np.ndarray, R0: np.ndarray, o: dict,
+               atm: float) -> dict:
+    """Reduce one raw observation against the float64 expansion anchor
+    (see :class:`..gnss.factors.GnssObsWindow`): all catastrophic
+    cancellations (psr − range, sat − receiver) happen HERE in float64; the
+    device sees only small, f32-stable quantities."""
+    sp = np.asarray(o["sat_pos"], np.float64)
+    sv = np.asarray(o.get("sat_vel", np.zeros(3)), np.float64)
+    anc0 = np.asarray(anc0, np.float64)
+    rvec = sp - anc0
+    rng0 = float(np.linalg.norm(rvec))
+    sagnac0 = EARTH_OMG / LIGHT_SPEED * (sp[0] * anc0[1] - sp[1] * anc0[0])
+    zxs = np.array([-sp[1], sp[0], 0.0])        # ẑ_ecef × sat_pos
+    zxv = np.array([-sv[1], sv[0], 0.0])        # ẑ_ecef × sv_vel
+    return dict(
+        rvec0=R0.T @ rvec,
+        rng0=rng0,
+        psr_red=(float(o["psr"]) - rng0 - sagnac0
+                 + float(o.get("svdt", 0.0)) * LIGHT_SPEED
+                 - float(atm) - float(o.get("tgd", 0.0)) * LIGHT_SPEED),
+        dopp_red=(float(o["dopp_wl"])
+                  - float(o.get("svddt", 0.0)) * LIGHT_SPEED
+                  + EARTH_OMG / LIGHT_SPEED
+                  * (sv[0] * anc0[1] - sv[1] * anc0[0])),
+        sv_vel=R0.T @ sv,
+        sagnac_vec=EARTH_OMG / LIGHT_SPEED * (R0.T @ zxs),
+        dsag_vec=EARTH_OMG / LIGHT_SPEED * (R0.T @ zxv),
+    )
 
 
 class GnssIngest:
@@ -27,6 +57,18 @@ class GnssIngest:
         self.iono_paras = iono_paras
         self.track_count: dict[int, int] = {}
         self.epochs: list[list[dict]] = []        # per-frame filtered epochs
+        # float64 expansion anchor installed at GNSS-VI alignment; every
+        # window-table slot is reduced against it (reduce_obs)
+        self.anc0: np.ndarray | None = None
+        self.R0: np.ndarray | None = None
+
+    def set_anchor(self, anc_ecef: np.ndarray) -> None:
+        self.anc0 = np.asarray(anc_ecef, np.float64).copy()
+        self.R0 = np.asarray(ecef2rotation(self.anc0), np.float64)
+
+    def anchor_ecef(self, danc_enu) -> np.ndarray:
+        """Absolute ECEF anchor from the state's ENU delta column."""
+        return self.anc0 + self.R0 @ np.asarray(danc_enu, np.float64)
 
     def process_epoch(self, obs_list, aligned: bool, anc_ecef=None) -> list[dict]:
         """Apply the reference's gates; returns the accepted observations and
@@ -53,21 +95,23 @@ class GnssIngest:
             self.epochs = self.epochs[-n_keep:]
 
     def build_slot(self, obs_list, anc_ecef, p_local_ecef=None):
-        """One window-table slot from an epoch: weights from elevation + URA
-        (gnss_psr_dopp_factor.cpp:22-48, 86-89), atmosphere precomputed at the
-        current position estimate (:80-85)."""
+        """One window-table slot from an epoch in REDUCED-OBSERVABLE form:
+        weights from elevation + URA (gnss_psr_dopp_factor.cpp:22-48, 86-89),
+        atmosphere precomputed at the current position estimate (:80-85), and
+        every absolute-geometry cancellation done in float64 against the
+        alignment anchor (:func:`reduce_obs`). Requires :meth:`set_anchor`
+        to have run (pre-alignment epochs are kept raw on the host and
+        installed at alignment — ``pipeline._install_window_epochs``)."""
+        assert self.anc0 is not None, "build_slot before GNSS-VI alignment"
         s_max = self.cfg.max_sats
         out = {k: np.zeros(s_max) for k in
-               ("psr", "dopp_wl", "svdt", "svddt", "atm_delay", "tgd",
-                "pr_weight", "dp_weight", "ratio")}
-        sat_pos = np.zeros((s_max, 3))
-        sat_vel = np.zeros((s_max, 3))
+               ("rng0", "psr_red", "dopp_red", "pr_weight", "dp_weight",
+                "ratio")}
+        vec = {k: np.zeros((s_max, 3)) for k in
+               ("rvec0", "sv_vel", "sagnac_vec", "dsag_vec")}
         sysm = np.zeros(s_max, np.int32)
         valid = np.zeros(s_max, bool)
         pos = np.asarray(p_local_ecef if p_local_ecef is not None else anc_ecef)
-        # pre-alignment there is no valid ECEF position: skip atmosphere +
-        # elevation weighting (the reference's `if (P_ecef.norm() > 0)` guard,
-        # gnss_psr_dopp_factor.cpp:78)
         has_pos = np.linalg.norm(pos) > 1e6
         lla = ecef2geo(pos) if has_pos else np.zeros(3)
         for i, o in enumerate(obs_list[:s_max]):
@@ -83,15 +127,12 @@ class GnssIngest:
             atm = saastamoinen_tropo(lla, el) if has_pos else 0.0
             if has_pos and self.iono_paras is not None:
                 atm += klobuchar_iono(o.get("tow", 0.0), self.iono_paras, lla, az, el)
-            out["atm_delay"][i] = atm
-            out["psr"][i] = o["psr"]
-            out["dopp_wl"][i] = o["dopp_wl"]
-            out["svdt"][i] = o.get("svdt", 0.0)
-            out["svddt"][i] = o.get("svddt", 0.0)
-            out["tgd"][i] = o.get("tgd", 0.0)
+            red = reduce_obs(self.anc0, self.R0, o, atm)
+            for k in ("rng0", "psr_red", "dopp_red"):
+                out[k][i] = red[k]
+            for k in ("rvec0", "sv_vel", "sagnac_vec", "dsag_vec"):
+                vec[k][i] = red[k]
             out["ratio"][i] = o.get("ratio", 1.0)
-            sat_pos[i] = sp
-            sat_vel[i] = np.asarray(o.get("sat_vel", np.zeros(3)))
             sysm[i] = o["sys"]
             valid[i] = True
-        return dict(sat_pos=sat_pos, sat_vel=sat_vel, sys=sysm, valid=valid, **out)
+        return dict(sys=sysm, valid=valid, **vec, **out)

@@ -90,6 +90,8 @@ class Estimator:
         self.gnss_aligned = False
         self._first_gnss_opt = True   # estimator.cpp:152 (reset by clearState)
         self._pending_gnss: Optional[tuple] = None   # (epoch time, obs list)
+        # raw float64 epochs received pre-alignment, installed at alignment
+        self._gnss_pre_epochs: list[tuple[float, list]] = []
         self.solver_flag = self.INITIAL
         self.frame_count = 0              # frames currently occupied (fill phase)
         self.ts: list[float] = []
@@ -467,9 +469,10 @@ class Estimator:
     def enable_burst(self, chunk: int = 16) -> None:
         """Replay acceleration: once NON_LINEAR, stage ``chunk`` frames and
         solve them in ONE device dispatch (``make_window_burst_ingest`` —
-        on-device ingest + window step scanned K times). The per-frame path is
-        dispatch-bound through the TPU tunnel (~150 µs/step of host overhead
-        vs ~9 µs of device time), so replay throughput improves ~20×.
+        on-device ingest + window step scanned K times). Through the remote
+        TPU tunnel every dispatch/fetch costs a ~25 ms round trip (and the
+        per-frame path needs several), so replay throughput improves by the
+        chunk factor; the device step itself is ~10 ms (bench.py).
 
         Host slot allocation (points AND line landmarks) runs against NumPy
         mirrors of the padded tables (no per-frame device readback); the
@@ -493,6 +496,21 @@ class Estimator:
         self._burst_meta: list[tuple[float, bool]] = []
         self._burst_flushed_sizes: list[int] = []  # staging evidence/diagnostic
         self._mirror_synced = False
+
+    def enable_live(self) -> None:
+        """LIVE/latency mode (VERDICT r4 #3): the per-frame path packed into
+        the minimum device traffic — each frame is ONE fused
+        ingest+solve+marginalize+slide dispatch (the burst-ingest program
+        with a chunk of 1) and ONE batched fetch (odometry + failure flag +
+        the post-step mirror tables, which ride out of the same dispatch).
+        All host consumers — keyframe parallax gate, slot allocation,
+        prediction seeding, the speed gate — are served from the NumPy
+        mirrors, so no other device round trip exists on the frame path.
+        Equivalence with the per-frame pytree path is the burst-vs-live
+        oracle of ``tests/test_burst.py`` (a chunk of 1 is the same scanned
+        program). The robot-facing p50/p99 single-solve latency is reported
+        by ``bench.py`` (``live_solve_p50_ms``/``p99``)."""
+        self.enable_burst(1)
 
     def _sync_mirror(self) -> None:
         import jax
@@ -669,13 +687,18 @@ class Estimator:
             )
             for k in self._burst_xs[0]
         }
-        core_new, outs = self._burst_fn(self.core, xs)
+        core_new, outs, mirrors = self._burst_fn(self.core, xs)
         self.core = core_new
         self._burst_flushed_sizes.append(len(self._burst_meta))
         import jax
 
-        poses, sbs_out, failed = jax.device_get(
-            (outs["pose"], outs["sb"], outs["failed"]))
+        # ONE batched round trip for odometry + failure flags + the
+        # post-chunk mirror tables (the mirrors ride along instead of a
+        # second _sync_mirror fetch — the flush is 1 dispatch + 1 fetch)
+        fetched = jax.device_get((outs["pose"], outs["sb"], outs["failed"])
+                                 + tuple(mirrors))
+        poses, sbs_out, failed = fetched[0:3]
+        mirror_arrays = fetched[3:]
         poses = np.asarray(poses, np.float64)
         # per-frame failure detection INSIDE the chunk (device-side bias
         # checks stacked per step): on a mid-chunk explosion, keep only the
@@ -697,7 +720,15 @@ class Estimator:
         self._last_sb = np.asarray(sbs_out[-1], np.float64)
         self._fp_seed = (poses[-1], self._last_sb)
         self._last_out_failed = False
-        self._sync_mirror()
+        # reconcile mirrors from the flush's own fetch (same arrays
+        # _sync_mirror would read — they come from core_new inside the jit)
+        self._mirror_obs_valid = np.array(mirror_arrays[0])
+        self._mirror_active = np.array(mirror_arrays[1])
+        self._mirror_obs_xy = np.array(mirror_arrays[2])
+        if self.cfg.use_line and self.core.lines is not None:
+            self._mirror_line_obs_valid = np.array(mirror_arrays[3])
+            self._mirror_line_active = np.array(mirror_arrays[4])
+        self._mirror_synced = True
         return poses[-1]
 
     def _fill_or_init(self, t, feats):
@@ -1013,6 +1044,7 @@ class Estimator:
         self.all_imu_window = []
         self.gnss_aligned = False
         self._first_gnss_opt = True   # estimator.cpp:152
+        self._gnss_pre_epochs = []
         self._mirror_synced = False
         self._fp_seed = None
         self._last_sb = None
@@ -1051,6 +1083,8 @@ class Estimator:
             keyframe_flags=np.asarray(self.keyframe_flags, bool),
         )
         if self.gnss is not None:
+            if self.gnss.anc0 is not None:
+                out["gnss_anc0"] = np.asarray(self.gnss.anc0, np.float64)
             out["gnss_track_keys"] = np.asarray(
                 list(self.gnss.track_count.keys()), np.int64)
             out["gnss_track_vals"] = np.asarray(
@@ -1093,6 +1127,8 @@ class Estimator:
         self.trajectory = [(float(t), p) for t, p in
                            zip(data["traj_t"], data["traj_p"])]
         self.keyframe_flags = [bool(b) for b in data["keyframe_flags"]]
+        if self.gnss is not None and "gnss_anc0" in data:
+            self.gnss.set_anchor(np.asarray(data["gnss_anc0"], np.float64))
         if self.gnss is not None and "gnss_track_keys" in data:
             self.gnss.track_count = {int(k): int(v) for k, v in
                                      zip(data["gnss_track_keys"],
@@ -1103,6 +1139,13 @@ class Estimator:
         self._last_sb = None
         self._last_out_failed = None
         self._mirror_synced = False
+
+    def anchor_ecef(self) -> Optional[np.ndarray]:
+        """Absolute ECEF anchor (float64 expansion anchor + the state's
+        ENU delta column), or None before GNSS-VI alignment."""
+        if self.gnss is None or self.gnss.anc0 is None:
+            return None
+        return self.gnss.anchor_ecef(np.asarray(self.core.state.anc_ecef))
 
     def _attach_gnss_epoch(self):
         """Gate + store the pending epoch into the window table at its
@@ -1115,13 +1158,22 @@ class Estimator:
         if self.gnss is None or self._pending_gnss is None:
             return
         t_obs, obs_list = self._pending_gnss
-        obs = self.gnss.process_epoch(
-            obs_list, self.gnss_aligned,
-            np.asarray(self.core.state.anc_ecef) if self.gnss_aligned else None,
-        )
+        anc_abs = (self.gnss.anchor_ecef(self.core.state.anc_ecef)
+                   if self.gnss_aligned else None)
+        obs = self.gnss.process_epoch(obs_list, self.gnss_aligned, anc_abs)
         self._pending_gnss = None
         if not obs or self.core.gnss_obs is None or len(self.ts) < 2:
             return
+        if not self.gnss_aligned:
+            # no expansion anchor yet: keep the raw (float64) epoch host-side
+            # and install it into the window table at alignment
+            # (_install_window_epochs) — the factors are gnss_ready-gated
+            # until then anyway
+            self._gnss_pre_epochs.append((float(t_obs), obs))
+            return
+        self._write_gnss_slot(float(t_obs), obs, anc_abs)
+
+    def _write_gnss_slot(self, t_obs: float, obs: list, anc_abs) -> None:
         ts = np.asarray(self.ts, np.float64)
         lower = int(np.searchsorted(ts, t_obs, side="right") - 1)
         lower = max(0, min(lower, len(ts) - 2, self.f - 2))
@@ -1129,10 +1181,7 @@ class Estimator:
         ratio = float(np.clip((ts[lower + 1] - t_obs) / denom, 0.0, 1.0))
         for o in obs:
             o["ratio"] = ratio
-        anc = np.asarray(self.core.state.anc_ecef)
-        slot = self.gnss.build_slot(obs, anc if self.gnss_aligned else None,
-                                    p_local_ecef=anc if self.gnss_aligned else
-                                    np.asarray(obs[0]["sat_pos"]) * 0.0)
+        slot = self.gnss.build_slot(obs, anc_abs)
         g = self.core.gnss_obs
         upd = {}
         for k, v in slot.items():
@@ -1161,48 +1210,31 @@ class Estimator:
         )
         if not ok:
             return
+        # install the float64 expansion anchor; the state's anchor column is
+        # the ENU DELTA from it (zero at alignment) — absolute ECEF math at
+        # f32 quantizes at meters, so it never reaches the device
+        # (gnss/factors.GnssObsWindow)
+        self.gnss.set_anchor(anc)
         self.core = self.core._replace(state=st._replace(
-            anc_ecef=jnp.asarray(anc, self.dtype),
+            anc_ecef=jnp.zeros(3, self.dtype),
             yaw_enu=jnp.asarray(yaw, self.dtype),
             rcv_dt=jnp.tile(jnp.asarray(rcv_dt, self.dtype), (self.f, 1)),
         ))
         self.gnss_aligned = True
-        self._refresh_gnss_atm(anc)
+        self._install_window_epochs(anc)
 
-    def _refresh_gnss_atm(self, anc):
-        """Pre-alignment slots were stored with zero atmospheric delay and
-        unit elevation weights (no position estimate existed); recompute them
-        at the now-known anchor — the reference recomputes atmosphere inside
-        every factor Evaluate (gnss_psr_dopp_factor.cpp:78-85), so stored
-        epochs must not keep the pre-alignment zeros."""
-        from .gnss.coords import ecef2geo, sat_azel
-        from .gnss.ephemeris import saastamoinen_tropo
-        from .gnss.factors import PSR_TO_DOPP_RATIO, RELATIVE_SQRT_INFO
-
-        g = self.core.gnss_obs
-        if g is None:
-            return
-        sat_pos = np.asarray(g.sat_pos)
-        valid = np.asarray(g.valid)
-        atm = np.asarray(g.atm_delay).copy()
-        prw = np.asarray(g.pr_weight).copy()
-        dpw = np.asarray(g.dp_weight).copy()
-        lla = ecef2geo(np.asarray(anc))
-        for k in range(valid.shape[0]):
-            for j in np.nonzero(valid[k])[0]:
-                az, el = sat_azel(np.asarray(anc), sat_pos[k, j])
-                atm[k, j] = saastamoinen_tropo(lla, el)
-                sin_el2 = np.sin(el) ** 2
-                # re-derive the URA part from the stored unit-elevation weight
-                base_pr = prw[k, j]
-                base_dp = dpw[k, j]
-                prw[k, j] = base_pr * sin_el2
-                dpw[k, j] = base_dp * sin_el2
-        self.core = self.core._replace(gnss_obs=g._replace(
-            atm_delay=jnp.asarray(atm, self.dtype),
-            pr_weight=jnp.asarray(prw, self.dtype),
-            dp_weight=jnp.asarray(dpw, self.dtype),
-        ))
+    def _install_window_epochs(self, anc) -> None:
+        """Install the raw epochs received BEFORE alignment into the window
+        table, reduced against the freshly-installed float64 anchor — the
+        role the reference's per-factor atmosphere/weight recomputation plays
+        (gnss_psr_dopp_factor.cpp:78-89): pre-alignment slots must not keep
+        placeholder values. Raw float64 observations were kept host-side
+        precisely so no f32-truncated pseudorange ever feeds a reduction."""
+        eps = [e for e in self._gnss_pre_epochs
+               if self.ts and self.ts[0] <= e[0] <= self.ts[-1] + 1e-9]
+        self._gnss_pre_epochs = []
+        for t_obs, obs in eps:
+            self._write_gnss_slot(t_obs, obs, np.asarray(anc, np.float64))
 
     def _run_step(self, marg_old: bool, propagate_newest: bool = False):
         f = self.f

@@ -319,7 +319,8 @@ def build_window_problem(cfg, sp: SimParams, t_start: float = 0.0, dtype=jnp.flo
     )
     wheel_buf = WheelWindowBuffer(
         *[jnp.asarray(np.stack(wbuf[k]), dtype if k not in ("valid",) else bool)
-          for k in ("dts", "vel", "gyr", "valid", "vel0", "gyr0")]
+          for k in ("dts", "vel", "gyr", "valid", "vel0", "gyr0")],
+        bad=jnp.zeros((f,), bool),
     )
     interval_valid = jnp.asarray(np.arange(f) >= 1)
     return dict(

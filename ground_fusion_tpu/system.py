@@ -118,6 +118,14 @@ class GroundFusionSystem:
         self.stats = StageStats()
         self.calib_dump = CalibrationDump(out_dir)
         self.dead_reckoning = DeadReckoningPaths()
+        # live telemetry registry (VERDICT r4 #10): the in-process analog of
+        # the reference's ~30 live topics (visualization.cpp:53-81). Topics:
+        # imu_propagate (IMU-rate predicted odometry, pubLatestOdometry),
+        # odometry (per solved frame, pubOdometry), keyframe (pubKeyframe),
+        # loop_closure (new verified loop edge), path_update (post-relaxation
+        # drift broadcast), map_delta (newly inserted keyframe cloud).
+        # Publishing is zero-cost with no subscribers.
+        self._subs: dict[str, list] = {}
 
         # burst replay (cfg.burst_chunk): the estimator solves K staged
         # frames per device dispatch; post-solve hooks (loop keyframes,
@@ -129,6 +137,19 @@ class GroundFusionSystem:
             self._burst_frames: dict[float, tuple] = {}  # t -> (img, depth)
             self._consumed = 0
 
+    # ------------------------------------------------------------- telemetry
+
+    def subscribe(self, topic: str, fn) -> None:
+        """Register a live-telemetry callback ``fn(**payload)`` — the
+        embeddable analog of subscribing to the reference's ROS topics
+        (``registerPub``, visualization.cpp:53-81). See ``self._subs`` doc
+        for the topic set; payloads are plain NumPy/py values."""
+        self._subs.setdefault(topic, []).append(fn)
+
+    def _publish(self, topic: str, **payload) -> None:
+        for fn in self._subs.get(topic, ()):
+            fn(**payload)
+
     # --------------------------------------------------------------- sensors
 
     def input_imu(self, t, acc, gyr):
@@ -139,6 +160,12 @@ class GroundFusionSystem:
         self.dead_reckoning.push_imu(
             t, acc, gyr, ba=getattr(self, "_dr_ba", None),
             bg=getattr(self, "_dr_bg", None), g_norm=self.cfg.imu.g_norm)
+        if "imu_propagate" in self._subs:
+            # IMU-rate predicted odometry (pubLatestOdometry,
+            # estimator.cpp:324-352) from the host-side fastPredict state
+            od = self.estimator.latest_odometry()
+            if od is not None:
+                self._publish("imu_propagate", t=od[0], pose=od[1], vel=od[2])
 
     def input_wheel(self, t, vel, gyr):
         self.estimator.input_wheel(t, vel, gyr)
@@ -217,9 +244,13 @@ class GroundFusionSystem:
             self._refresh_dr_bias()
             if self.global_fusion is not None:
                 self.global_fusion.input_odom(t, pose)
-            self._loop_and_map(t, img, depth, pose,
-                               self.estimator.keyframe_flags
-                               and self.estimator.keyframe_flags[-1])
+            is_kf = bool(self.estimator.keyframe_flags
+                         and self.estimator.keyframe_flags[-1])
+            self._publish("odometry", t=t, pose=np.asarray(pose),
+                          is_keyframe=is_kf)
+            if is_kf:
+                self._publish("keyframe", t=t, pose=np.asarray(pose))
+            self._loop_and_map(t, img, depth, pose, is_kf)
         return pose
 
     def _loop_and_map(self, t, img, depth, pose, is_keyframe):
@@ -277,6 +308,10 @@ class GroundFusionSystem:
             self.calib_dump.append(t_k, est.core.state)
             if self.global_fusion is not None:
                 self.global_fusion.input_odom(t_k, pose_k)
+            self._publish("odometry", t=t_k, pose=np.asarray(pose_k),
+                          is_keyframe=bool(kf))
+            if kf:
+                self._publish("keyframe", t=t_k, pose=np.asarray(pose_k))
             frame = self._burst_frames.get(float(t_k))
             if frame is not None:
                 img_k, depth_k = frame
@@ -385,9 +420,18 @@ class GroundFusionSystem:
         with self.stats.time("loop"):
             self.pose_graph.add_keyframe(kf)
             if len(self.pose_graph.loop_edges) > getattr(self, "_opt_edges", 0):
+                # a new verified loop edge (findConnection success)
+                self._publish("loop_closure",
+                              edge=self.pose_graph.loop_edges[-1],
+                              n_keyframes=len(self.pose_graph.kfs))
                 self.pose_graph.optimize()
                 self._opt_edges = len(self.pose_graph.loop_edges)
                 self._rebuild_map()
+                # post-relaxation drift broadcast (updatePath's corrected
+                # path, pose_graph.cpp:674-696)
+                self._publish("path_update",
+                              r_drift=np.asarray(self.pose_graph.r_drift),
+                              t_drift=np.asarray(self.pose_graph.t_drift))
         self._kf_index += 1
         # the drift-corrected pose the graph stored (updatePose) — dense
         # clouds must be inserted at THIS pose, not the raw VIO one
@@ -422,6 +466,11 @@ class GroundFusionSystem:
         # is stored per keyframe and the gate is re-evaluated at rebuild time
         ok_z = ok & (pts_w[:, 2] <= self.cfg.map.z_max) \
                   & (pts_w[:, 2] >= self.cfg.map.z_min)
+        if "map_delta" in self._subs:
+            m = np.asarray(ok_z)
+            self._publish("map_delta", t=None,
+                          points=np.asarray(pts_w)[m],
+                          colors=np.asarray(rgb)[m])
         with self.stats.time("map"):
             self.voxel_map.insert(pts_w, rgb, ok_z)
             if register is not None:

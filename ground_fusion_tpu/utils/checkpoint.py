@@ -100,8 +100,11 @@ def load_pose_graph(path: str, pg) -> None:
             fields[field] = v
         kf = Keyframe(**fields)
         pg.kfs.append(kf)
-        hist = bow_histogram(words_of(jnp.asarray(kf.desc), jnp.asarray(kf.kp_ok),
-                                      pg.sel))
+        if getattr(pg, "vocab", None) is not None:
+            hist = pg.db.bow_vector(kf.desc, kf.kp_ok)
+        else:
+            hist = bow_histogram(words_of(jnp.asarray(kf.desc),
+                                          jnp.asarray(kf.kp_ok), pg.sel))
         pg.db.add(hist, kf_index=kf.index)
     pg.r_drift = data["r_drift"]
     pg.t_drift = data["t_drift"]

@@ -72,6 +72,27 @@ def test_pipeline_burst_replay_matches_per_frame():
     assert ate_rmse(xyz_b, gt_xyz) < 0.05
 
 
+def test_pipeline_live_mode_matches_per_frame():
+    """LIVE/latency mode (enable_live = one fused ingest+step dispatch + one
+    batched fetch per frame, host served from mirrors) must reproduce the
+    per-frame pytree path exactly (VERDICT r4 #3)."""
+    from tests.test_pipeline import run_pipeline
+    from ground_fusion_tpu.utils.evaluate import ate_rmse
+
+    est_a, gt = run_pipeline(n_frames=22)
+    est_l, _ = run_pipeline(n_frames=22, burst=1)   # chunk=1 == enable_live
+
+    assert len(est_l.trajectory) == len(est_a.trajectory)
+    # live mode never leaves frames staged: every frame flushed immediately
+    assert est_l._burst_xs == []
+    assert all(s == 1 for s in est_l._burst_flushed_sizes)
+    xyz_a = np.stack([p[0:3] for _, p in est_a.trajectory])
+    xyz_l = np.stack([p[0:3] for _, p in est_l.trajectory])
+    np.testing.assert_allclose(xyz_l, xyz_a, atol=1e-3)
+    gt_xyz = np.stack([gt[t][0:3] for t, _ in est_l.trajectory])
+    assert ate_rmse(xyz_l, gt_xyz) < 0.05
+
+
 def test_pipeline_burst_with_lines_matches_per_frame():
     """Burst replay with ``use_line``: the line-landmark ingest (slot
     permutation writes + scrubs) scanned on device must reproduce the

@@ -591,5 +591,5 @@ def test_convert_bag_gnss_cli_e2e(tmp_path):
     assert ate < 0.15, f"converted-bag GNSS replay ATE {ate:.4f} m"
     # the anchor recovered by alignment sits at the true site (<100 m: SPP
     # from clean pseudoranges)
-    anc_est = np.asarray(est.core.state.anc_ecef)
+    anc_est = np.asarray(est.anchor_ecef())
     assert np.linalg.norm(anc_est - anc_true) < 100.0

@@ -119,7 +119,12 @@ def test_dopp_vel_solve():
 
 
 def _window_gnss_obs(cfg, anc, yaw_enu, poses, vels, dt_vals, ddt_vals, n_sats=8):
-    """Synthesize a consistent GnssObsWindow from ground-truth states."""
+    """Synthesize a consistent GnssObsWindow from ground-truth states: raw
+    float64 pseudoranges/Dopplers exactly as a receiver would report them,
+    then host-reduced against the expansion anchor ``anc`` — the same
+    ingest path production uses (gnss/ingest.reduce_obs)."""
+    from ground_fusion_tpu.gnss.ingest import reduce_obs
+
     f = cfg.num_frames
     s = n_sats
     R_el = ecef2rotation(anc)
@@ -131,10 +136,9 @@ def _window_gnss_obs(cfg, anc, yaw_enu, poses, vels, dt_vals, ddt_vals, n_sats=8
     sat_vel = rng.normal(0, 2500, (s, 3))
 
     tbl = {k: np.zeros((f, s)) for k in
-           ("psr", "dopp_wl", "svdt", "svddt", "atm_delay", "tgd",
-            "pr_weight", "dp_weight", "ratio")}
-    sat_pos_t = np.zeros((f, s, 3))
-    sat_vel_t = np.zeros((f, s, 3))
+           ("rng0", "psr_red", "dopp_red", "pr_weight", "dp_weight", "ratio")}
+    vec = {k: np.zeros((f, s, 3)) for k in
+           ("rvec0", "sv_vel", "sagnac_vec", "dsag_vec")}
     sysm = np.zeros((f, s), np.int32)
     valid = np.zeros((f, s), bool)
     for k in range(f - 1):            # epoch at frame k (ratio = 1)
@@ -147,24 +151,29 @@ def _window_gnss_obs(cfg, anc, yaw_enu, poses, vels, dt_vals, ddt_vals, n_sats=8
             unit = rng_vec / rngn
             sagnac = EARTH_OMG * (sp[0] * P_ecef[1] - sp[1] * P_ecef[0]) / LIGHT_SPEED
             sys = j % 2 * 3           # GPS / BDS
-            tbl["psr"][k, j] = rngn + sagnac + dt_vals[k, sys]
             d_sagnac = EARTH_OMG / LIGHT_SPEED * (
                 sv[0] * P_ecef[1] + sp[0] * V_ecef[1]
                 - sv[1] * P_ecef[0] - sp[1] * V_ecef[0])
             dopp_est = np.dot(sv - V_ecef, unit) + d_sagnac + ddt_vals[k]
-            tbl["dopp_wl"][k, j] = -dopp_est
+            raw = dict(sat_pos=sp, sat_vel=sv, svdt=0.0, svddt=0.0, tgd=0.0,
+                       psr=rngn + sagnac + dt_vals[k, sys],
+                       dopp_wl=-dopp_est)
+            red = reduce_obs(anc, R_el, raw, atm=0.0)
+            for key in ("rng0", "psr_red", "dopp_red"):
+                tbl[key][k, j] = red[key]
+            for key in ("rvec0", "sv_vel", "sagnac_vec", "dsag_vec"):
+                vec[key][k, j] = red[key]
             tbl["pr_weight"][k, j] = 1.0
             tbl["dp_weight"][k, j] = 1.0
             tbl["ratio"][k, j] = 1.0
-            sat_pos_t[k, j] = sp
-            sat_vel_t[k, j] = sv
             sysm[k, j] = sys
             valid[k, j] = True
     return GnssObsWindow(
-        sat_pos=jnp.asarray(sat_pos_t), sat_vel=jnp.asarray(sat_vel_t),
-        psr=jnp.asarray(tbl["psr"]), dopp_wl=jnp.asarray(tbl["dopp_wl"]),
-        svdt=jnp.asarray(tbl["svdt"]), svddt=jnp.asarray(tbl["svddt"]),
-        atm_delay=jnp.asarray(tbl["atm_delay"]), tgd=jnp.asarray(tbl["tgd"]),
+        rvec0=jnp.asarray(vec["rvec0"]), rng0=jnp.asarray(tbl["rng0"]),
+        psr_red=jnp.asarray(tbl["psr_red"]), dopp_red=jnp.asarray(tbl["dopp_red"]),
+        sv_vel=jnp.asarray(vec["sv_vel"]),
+        sagnac_vec=jnp.asarray(vec["sagnac_vec"]),
+        dsag_vec=jnp.asarray(vec["dsag_vec"]),
         sys=jnp.asarray(sysm), pr_weight=jnp.asarray(tbl["pr_weight"]),
         dp_weight=jnp.asarray(tbl["dp_weight"]), ratio=jnp.asarray(tbl["ratio"]),
         valid=jnp.asarray(valid),
@@ -191,7 +200,7 @@ def test_psr_dopp_rows_zero_at_gt():
         rcv_dt=jnp.asarray(dt_vals),
         rcv_ddt=jnp.asarray(ddt_vals),
         yaw_enu=jnp.asarray(yaw, DT),
-        anc_ecef=jnp.asarray(anc),
+        anc_ecef=jnp.zeros(3, DT),   # ENU delta from the expansion anchor
     )
     obs = _window_gnss_obs(cfg, anc, yaw, np.asarray(st.poses), vels, dt_vals, ddt_vals)
     J, r = linearize_gnss_psr_dopp(st, obs, jnp.asarray(True), layout)
@@ -272,6 +281,10 @@ def test_gnss_epoch_ts_ratio_attachment():
     est.ts = [0.1 * k for k in range(f)]
 
     anc = geo2ecef(np.array([np.deg2rad(31.0), np.deg2rad(121.4), 10.0]))
+    # slot writes require the reduction anchor (pre-alignment epochs stay
+    # host-side); emulate the post-alignment state
+    est.gnss.set_anchor(anc)
+    est.gnss_aligned = True
     sat = anc + ecef2rotation(anc) @ np.array([0.4e7, 0.5e7, 2.0e7])
     obs = dict(sat=3, sys=0, sat_pos=sat, sat_vel=np.zeros(3),
                psr=1.0e7, dopp_wl=0.0, psr_std=0.1, dopp_std=0.1,
@@ -294,17 +307,55 @@ def test_gnss_epoch_ts_ratio_attachment():
     P_ecef = anc + R_el @ P_interp
     rng = np.linalg.norm(sat - P_ecef)
     sagnac = EARTH_OMG * (sat[0] * P_ecef[1] - sat[1] * P_ecef[0]) / LIGHT_SPEED
-    o = dict(sat_pos=jnp.asarray(sat), sat_vel=jnp.zeros(3),
-             psr=jnp.asarray(rng + sagnac), dopp_wl=jnp.asarray(0.0),
-             svdt=jnp.asarray(0.0), svddt=jnp.asarray(0.0),
-             atm_delay=jnp.asarray(0.0), tgd=jnp.asarray(0.0),
-             pr_weight=jnp.asarray(1.0), dp_weight=jnp.asarray(1.0),
+    from ground_fusion_tpu.gnss.ingest import reduce_obs
+
+    red = reduce_obs(anc, R_el, dict(sat_pos=sat, sat_vel=np.zeros(3),
+                                     psr=rng + sagnac, dopp_wl=0.0),
+                     atm=0.0)
+    o = {k: jnp.asarray(v) for k, v in red.items()}
+    o.update(pr_weight=jnp.asarray(1.0), dp_weight=jnp.asarray(1.0),
              ratio=jnp.asarray(0.4))
     args = (jnp.asarray(Pi), jnp.zeros(3), jnp.asarray(Pj), jnp.zeros(3),
             jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0.0),
-            jnp.asarray(anc))
+            jnp.zeros(3))
     r_good = np.asarray(psr_dopp_residual_raw(*args, o))
     o_bad = dict(o, ratio=jnp.asarray(0.0))
     r_bad = np.asarray(psr_dopp_residual_raw(*args, o_bad))
     assert abs(r_good[0]) < 1e-6, f"interpolated residual biased: {r_good[0]}"
     assert abs(r_bad[0]) > 0.1, "ratio-0 attachment should be biased here"
+
+
+def test_psr_dopp_f32_precision():
+    """The reduced-observable form must be f32-viable (the production TPU
+    dtype): at ground truth, float32 psr/dopp residuals stay at the
+    millimeter level, where the absolute-ECEF form loses ~2 m to float32
+    quantization of the ranges (the round-5 rationale in
+    gnss/factors.GnssObsWindow)."""
+    cfg = Config()
+    f = cfg.num_frames
+    layout = StateLayout(f, cfg.solver.max_landmarks)
+    anc = geo2ecef(np.array([np.deg2rad(31.0), np.deg2rad(121.4), 15.0]))
+    yaw = 0.3
+    rng = np.random.default_rng(5)
+    poses_p = rng.normal(0, 2.0, (f, 3))
+    vels = rng.normal(0, 0.5, (f, 3))
+    dt_vals = np.tile(np.array([20.0, 0.0, 0.0, 35.0]), (f, 1)) \
+        + np.arange(f)[:, None] * 0.5
+    ddt_vals = np.full(f, 5.0)
+
+    st = empty_state(f, jnp.float32)
+    st = st._replace(
+        poses=st.poses.at[:, 0:3].set(jnp.asarray(poses_p, jnp.float32)),
+        sbs=st.sbs.at[:, 0:3].set(jnp.asarray(vels, jnp.float32)),
+        rcv_dt=jnp.asarray(dt_vals, jnp.float32),
+        rcv_ddt=jnp.asarray(ddt_vals, jnp.float32),
+        yaw_enu=jnp.asarray(yaw, jnp.float32),
+        anc_ecef=jnp.zeros(3, jnp.float32),
+    )
+    obs = _window_gnss_obs(cfg, anc, yaw, poses_p, vels, dt_vals, ddt_vals)
+    obs32 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, obs)
+    J, r = linearize_gnss_psr_dopp(st, obs32, jnp.asarray(True), layout)
+    # < 5 mm weighted residual at GT in pure f32 (weights are 1 here)
+    assert float(jnp.max(jnp.abs(r))) < 5e-3, float(jnp.max(jnp.abs(r)))

@@ -311,7 +311,7 @@ def _run_gnss_pipeline(burst=0, epoch_every=1, n_frames=30, outage=None):
     # must map the newest pose to the true ECEF position — yaw_enu itself
     # absorbs whatever local gauge the init picked, so compare in ECEF
     yaw_est = float(np.asarray(est.core.state.yaw_enu))
-    anc_est = np.asarray(est.core.state.anc_ecef)
+    anc_est = np.asarray(est.anchor_ecef())
     cye, sye = np.cos(yaw_est), np.sin(yaw_est)
     R_est = ecef2rotation(anc_est) @ np.array(
         [[cye, -sye, 0], [sye, cye, 0], [0, 0, 1.0]])
