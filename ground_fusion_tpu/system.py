@@ -208,15 +208,21 @@ class GroundFusionSystem:
             # prediction seeding reads the freshly optimized core — a live-
             # mode optimization; mid-chunk the core is stale in burst mode
             self._seed_tracker_predictions()
+        # KLT/lines consume luminance; the detector consumes 3 channels
+        # (the reference's img_callback hands BGR8 to darknet and MONO8 to
+        # the tracker, rosNodeTest.cpp / YoloObjectDetector.cpp)
+        img = np.asarray(img)
+        img_gray = img.mean(axis=-1) if img.ndim == 3 else img
         with self.stats.time("track"):
-            feats = self.tracker.track(t, img, depth, img_right=img_right)
+            feats = self.tracker.track(t, img_gray, depth, img_right=img_right)
 
         if self.detector_params is not None and len(self.tracker.prev_pts):
             from .detector.model import cull_features_in_boxes, detect
             import jax.numpy as jnp
 
+            img_rgb = img if img.ndim == 3 else np.repeat(img[..., None], 3, -1)
             boxes, scores, classes, valid = detect(self.detector_params,
-                                                   jnp.asarray(img, jnp.float32))
+                                                   jnp.asarray(img_rgb, jnp.float32))
             keep = np.asarray(cull_features_in_boxes(
                 jnp.asarray(self.tracker.prev_pts), boxes, classes, valid))
             feats = {fid: f for (fid, f), k in zip(feats.items(), keep) if k}
@@ -224,7 +230,7 @@ class GroundFusionSystem:
         line_obs = None
         if self.line_tracker is not None:
             with self.stats.time("lines"):
-                line_obs = self.line_tracker.track(img)
+                line_obs = self.line_tracker.track(img_gray)
 
         with self.stats.time("solve"):
             pose = self.estimator.input_frame(t, feats, line_obs=line_obs)
@@ -585,9 +591,25 @@ class GroundFusionSystem:
         if self.global_fusion is not None:
             self.global_fusion.write_tum(os.path.join(self.out_dir, "global.txt"))
         if self.voxel_map is not None:
-            self.voxel_map.save_ply(os.path.join(self.out_dir, "map.ply"))
+            if self.cfg.map.outlier_min_neighbors > 0:
+                # offline cloud conditioning before export — the PCL
+                # RadiusOutlierRemoval stage of the reference's mesh command
+                # (pose_graph_node.cpp:133-318)
+                from .global_layers.meshing import radius_outlier_filter
+
+                pts, cols = self.voxel_map.export(self.cfg.map.density_gate)
+                keep = radius_outlier_filter(
+                    pts, radius=2.0 * self.cfg.map.voxel_size,
+                    min_neighbors=self.cfg.map.outlier_min_neighbors)
+                from .global_layers.dense_map import write_cloud_ply
+
+                write_cloud_ply(os.path.join(self.out_dir, "map.ply"),
+                                pts[keep], cols[keep])
+            else:
+                self.voxel_map.save_ply(os.path.join(self.out_dir, "map.ply"))
         if self.tsdf is not None:
-            self.tsdf.save_mesh_ply(os.path.join(self.out_dir, "mesh.ply"))
+            self.tsdf.save_mesh_ply(os.path.join(self.out_dir, "mesh.ply"),
+                                    smooth_radius=self.cfg.map.mls_radius_m)
         if self.prior_grid is not None:
             # republish the loaded prior occupancy map into this run's output
             # set (the latched prior-map republish, pose_graph_node.cpp:861-901)
