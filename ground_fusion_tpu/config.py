@@ -220,6 +220,11 @@ class MapConfig:
     mesh_resolution: int = 128
     mesh_size_m: float = 10.0
     mesh_origin: tuple[float, float, float] = (-5.0, -5.0, -2.0)
+    # offline cloud conditioning before export (the MLS + radius-outlier
+    # stage of the reference's mesh command, pose_graph_node.cpp:175-182):
+    # 0 disables; in voxels of mesh cell size for the mesh vertex smoothing
+    mls_radius_m: float = 0.0
+    outlier_min_neighbors: int = 0
 
 
 @dataclass(frozen=True)

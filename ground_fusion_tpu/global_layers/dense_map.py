@@ -102,15 +102,19 @@ class VoxelColorMap:
         """ASCII PLY export (the 'd'-key PCD dump analog,
         pose_graph_node.cpp:733-743)."""
         pts, cols = self.export(min_count)
-        with open(path, "w") as fp:
-            fp.write("ply\nformat ascii 1.0\n")
-            fp.write(f"element vertex {len(pts)}\n")
-            fp.write("property float x\nproperty float y\nproperty float z\n")
-            fp.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
-            fp.write("end_header\n")
-            for p, c in zip(pts, cols):
-                r, g, b = np.clip(c, 0, 255).astype(int)
-                fp.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f} {r} {g} {b}\n")
+        write_cloud_ply(path, pts, cols)
+
+
+def write_cloud_ply(path: str, pts: np.ndarray, cols: np.ndarray) -> None:
+    with open(path, "w") as fp:
+        fp.write("ply\nformat ascii 1.0\n")
+        fp.write(f"element vertex {len(pts)}\n")
+        fp.write("property float x\nproperty float y\nproperty float z\n")
+        fp.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        fp.write("end_header\n")
+        for p, c in zip(pts, cols):
+            r, g, b = np.clip(c, 0, 255).astype(int)
+            fp.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f} {r} {g} {b}\n")
 
 
 class OccupancyGrid2D:

@@ -101,17 +101,25 @@ class TsdfVolume:
 
     # -- host-side extraction ------------------------------------------------
 
-    def extract_mesh(self, min_weight: float = 1.0):
+    def extract_mesh(self, min_weight: float = 1.0,
+                     smooth_radius: float = 0.0):
         """Surface-nets isosurface of tsdf=0 → (verts [V,3], colors [V,3],
-        tris [T,3] int). Host/offline, like the reference's 'd' command."""
+        tris [T,3] int). Host/offline, like the reference's 'd' command.
+        ``smooth_radius`` > 0 applies the MLS vertex-smoothing stage
+        (pose_graph_node.cpp:175-182) to the extracted vertices."""
         tsdf = np.asarray(self.tsdf)
         wgt = np.asarray(self.weight)
         col = np.asarray(self.color)
         valid = wgt >= min_weight
-        return surface_nets(tsdf, valid, col, self.origin, self.voxel)
+        verts, cols, tris = surface_nets(tsdf, valid, col, self.origin,
+                                         self.voxel)
+        if smooth_radius > 0.0 and len(verts):
+            verts, _ = mls_smooth(verts, smooth_radius)
+        return verts, cols, tris
 
-    def save_mesh_ply(self, path: str, min_weight: float = 1.0):
-        verts, cols, tris = self.extract_mesh(min_weight)
+    def save_mesh_ply(self, path: str, min_weight: float = 1.0,
+                      smooth_radius: float = 0.0):
+        verts, cols, tris = self.extract_mesh(min_weight, smooth_radius)
         write_mesh_ply(path, verts, cols, tris)
 
 
@@ -194,6 +202,96 @@ def surface_nets(tsdf: np.ndarray, valid: np.ndarray, color: np.ndarray,
     vi = np.clip(np.round(verts).astype(np.int64), 0, n - 1)
     cols = color[vi[:, 0], vi[:, 1], vi[:, 2]]
     return verts_w, cols, tris
+
+
+# ---------------------------------------------------------------------------
+# Cloud conditioning: the reference's offline mesh path runs PCL
+# RadiusOutlierRemoval + MovingLeastSquares before Poisson
+# (pose_graph_node.cpp:133-318, MLS at :175-182). Same role here, array-shaped:
+# one grid-hash pass builds per-cell (count, Σp, Σppᵀ) tables and every point
+# reads its 27-cell neighborhood with vectorized searchsorted lookups — no
+# per-point KD-tree queries. Divergence: the neighborhood is the 27 cells of
+# side ``radius`` around each point (superset of the exact radius ball, ⊂ ball
+# of ~2.6·radius), which is the standard grid approximation.
+# ---------------------------------------------------------------------------
+
+
+def _cell_stats(points: np.ndarray, radius: float):
+    """Grid-hash accumulation: per-cell count / sum / outer-product sums, plus
+    each point's encoded cell key. Cells are cubes of side ``radius``."""
+    keys = np.floor(points / radius).astype(np.int64)
+    m = 1 << 21
+    enc = ((keys[:, 0] + (m >> 1)) * m + (keys[:, 1] + (m >> 1))) * m \
+        + (keys[:, 2] + (m >> 1))
+    cells, inv = np.unique(enc, return_inverse=True)
+    cnt = np.bincount(inv, minlength=len(cells)).astype(np.float64)
+    psum = np.zeros((len(cells), 3))
+    osum = np.zeros((len(cells), 3, 3))
+    np.add.at(psum, inv, points)
+    outer = points[:, :, None] * points[:, None, :]
+    np.add.at(osum, inv, outer)
+    return cells, cnt, psum, osum, enc
+
+
+def _gather_neighborhood(cells, cnt, psum, osum, enc_q: np.ndarray):
+    """Sum the stats of the 27 cells around each query point's cell."""
+    m = 1 << 21
+    n_c = np.zeros(len(enc_q))
+    n_p = np.zeros((len(enc_q), 3))
+    n_o = np.zeros((len(enc_q), 3, 3))
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                q = enc_q + (dx * m + dy) * m + dz
+                idx = np.searchsorted(cells, q)
+                idx_c = np.clip(idx, 0, len(cells) - 1)
+                hit = cells[idx_c] == q
+                n_c += np.where(hit, cnt[idx_c], 0.0)
+                n_p += np.where(hit[:, None], psum[idx_c], 0.0)
+                n_o += np.where(hit[:, None, None], osum[idx_c], 0.0)
+    return n_c, n_p, n_o
+
+
+def radius_outlier_filter(points: np.ndarray, radius: float,
+                          min_neighbors: int = 3) -> np.ndarray:
+    """Keep-mask dropping points with fewer than ``min_neighbors`` other
+    points in their 27-cell neighborhood (PCL RadiusOutlierRemoval role,
+    pose_graph_node.cpp mesh path / pose_graph.cpp:228-239)."""
+    if len(points) == 0:
+        return np.zeros(0, bool)
+    cells, cnt, psum, osum, enc = _cell_stats(np.asarray(points, np.float64),
+                                              radius)
+    n_c, _, _ = _gather_neighborhood(cells, cnt, psum, osum, enc)
+    return (n_c - 1.0) >= min_neighbors
+
+
+def mls_smooth(points: np.ndarray, radius: float, iters: int = 1,
+               min_neighbors: int = 4):
+    """Normal-aware moving-least-squares projection (degree-1 MLS, the
+    ``pcl::MovingLeastSquares`` role at pose_graph_node.cpp:175-182).
+
+    Each point is projected onto the total-least-squares plane of its
+    neighborhood (mean μ, normal = smallest-eigenvalue eigenvector of the
+    local covariance): ``p' = p − ((p−μ)·n̂)n̂``. Points with fewer than
+    ``min_neighbors`` neighbors are left untouched. Returns (smoothed points,
+    unit normals)."""
+    pts = np.asarray(points, np.float64).copy()
+    normals = np.zeros_like(pts)
+    for _ in range(max(iters, 1)):
+        cells, cnt, psum, osum, enc = _cell_stats(pts, radius)
+        n_c, n_p, n_o = _gather_neighborhood(cells, cnt, psum, osum, enc)
+        ok = n_c >= min_neighbors
+        nc = np.maximum(n_c, 1.0)
+        mu = n_p / nc[:, None]
+        cov = n_o / nc[:, None, None] - mu[:, :, None] * mu[:, None, :]
+        # eigh on [N,3,3] — smallest eigenvector is the local plane normal
+        w, v = np.linalg.eigh(cov)
+        nrm = v[..., 0]
+        d = np.einsum("ij,ij->i", pts - mu, nrm)
+        proj = pts - d[:, None] * nrm
+        pts = np.where(ok[:, None], proj, pts)
+        normals = np.where(ok[:, None], nrm, normals)
+    return pts, normals
 
 
 def write_mesh_ply(path: str, verts: np.ndarray, cols: np.ndarray,

@@ -65,3 +65,44 @@ def test_tsdf_sphere_mesh(tmp_path):
     write_mesh_ply(str(out), verts, cols, tris)
     head = out.read_text().splitlines()[:12]
     assert head[0] == "ply" and any("element face" in l for l in head)
+
+    # MLS vertex smoothing (the pcl::MovingLeastSquares stage of the
+    # reference's mesh command, pose_graph_node.cpp:175-182): on an already
+    # TSDF-averaged surface the planar projection may only add its bounded
+    # curvature-flattening bias (sagitta ≈ r²/2R), never destroy the fit —
+    # the noise-REDUCTION property is asserted on a noisy cloud below
+    verts_s, _, _ = vol.extract_mesh(min_weight=1.0,
+                                     smooth_radius=1.5 * vol.voxel)
+    assert len(verts_s) == len(verts)
+    err_s = np.abs(np.linalg.norm(verts_s, axis=1) - radius)
+    sagitta = (1.5 * vol.voxel) ** 2 / (2.0 * radius)
+    assert np.median(err_s) < np.median(err) + 2.0 * sagitta
+    assert np.median(err_s) < 1.5 * vol.voxel
+
+
+def test_mls_smooth_reduces_plane_noise():
+    from ground_fusion_tpu.global_layers.meshing import mls_smooth
+
+    rng = np.random.default_rng(0)
+    n = 4000
+    pts = np.stack([rng.uniform(0, 2, n), rng.uniform(0, 2, n),
+                    rng.normal(0, 0.02, n)], axis=-1)
+    sm, normals = mls_smooth(pts, radius=0.15)
+    rms_in = np.sqrt(np.mean(pts[:, 2] ** 2))
+    rms_out = np.sqrt(np.mean(sm[:, 2] ** 2))
+    assert rms_out < 0.4 * rms_in, (rms_in, rms_out)
+    # normals align with the true plane normal (sign-free)
+    assert np.median(np.abs(normals[:, 2])) > 0.98
+
+
+def test_radius_outlier_filter():
+    from ground_fusion_tpu.global_layers.meshing import radius_outlier_filter
+
+    rng = np.random.default_rng(1)
+    dense = rng.uniform(0, 1, (500, 3))
+    # isolated points far from the cluster
+    lone = np.array([[10.0, 10.0, 10.0], [-8.0, 3.0, 20.0]])
+    pts = np.concatenate([dense, lone])
+    keep = radius_outlier_filter(pts, radius=0.3, min_neighbors=3)
+    assert keep[:500].mean() > 0.95
+    assert not keep[500] and not keep[501]
