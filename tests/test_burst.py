@@ -200,14 +200,25 @@ def test_batched_fleet_replay_matches_per_sequence():
     cb, ob = burst(cores_b, fb_b)
     for b in range(B):
         cs, os_ = single(cores[b], fb_list[b])
+        # vmapped kernels reassociate reductions, so a solve sitting on a
+        # trust-region accept/reject boundary can transiently diverge a few
+        # 1e-3 mid-chunk before the next solves re-attract it to the same
+        # optimum (observed: 4.6e-3 at k=1 → 1.3e-4 by k=3). Assert the
+        # trajectory loosely and the end-of-chunk state tightly.
         np.testing.assert_allclose(
             np.asarray(os_["pose"]), np.asarray(ob["pose"][:, b]),
+            rtol=1e-2, atol=1e-2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(cs.state.poses), np.asarray(cb.state.poses[b]),
             rtol=1e-3, atol=1e-3,
         )
         np.testing.assert_allclose(
             np.asarray(cs.tracks.inv_depth), np.asarray(cb.tracks.inv_depth[b]),
             rtol=1e-3, atol=2e-3,
         )
+        np.testing.assert_array_equal(
+            np.asarray(cs.wheel_buf.bad), np.asarray(cb.wheel_buf.bad[b]))
 
 
 def test_burst_equals_sequential():
