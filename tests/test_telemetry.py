@@ -84,7 +84,12 @@ def test_subscriber_receives_odometry(tmp_path):
     assert len(imu_prop) > 5 * len(odo)
     assert all(p["pose"].shape == (7,) and p["vel"].shape == (3,)
                for p in imu_prop[:50])
-    # published odometry tracks ground truth (sanity, not a tight ATE bound)
-    last = odo[-1]
-    gt_p = np.asarray(gt_pose7(last["t"], sp))[0:3]
-    assert np.linalg.norm(last["pose"][0:3] - gt_p) < 0.3
+    # published odometry tracks ground truth (sanity, not a tight ATE bound).
+    # The estimator's world frame starts at its first pose while the
+    # simulator's circle starts at (radius, 0): compare 4-DoF-aligned like
+    # every replay oracle in the suite does.
+    from ground_fusion_tpu.utils.evaluate import ate_rmse
+
+    est_xyz = np.stack([p["pose"][0:3] for p in odo])
+    gt_xyz = np.stack([np.asarray(gt_pose7(p["t"], sp))[0:3] for p in odo])
+    assert ate_rmse(est_xyz, gt_xyz) < 0.3
